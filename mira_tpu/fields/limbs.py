@@ -1,0 +1,267 @@
+"""TPU-native vectorized prime-field arithmetic on 16-bit limb planes.
+
+Design (TPU-first, see SURVEY.md §7): a field element is 16 little-endian
+16-bit limbs stored in a uint32 array of shape ``(..., 16)``; elements are kept
+in Montgomery form (R = 2^256) on device.  All kernels are branch-free,
+shape-static and jit/vmap/shard_map friendly:
+
+* 16x16-bit partial products fit exactly in uint32 (no 64-bit ints on TPU);
+* multiplication is CIOS Montgomery with lazy per-column accumulation — the
+  column magnitude stays < 2^23 so carries are deferred to one final ripple;
+* comparisons/selects are mask arithmetic, never data-dependent control flow.
+
+This replaces the reference's 64-bit-limb Rust field arithmetic (halo2curves,
+consumed via e.g. /root/reference/src/commitment.rs:78-87 and the row-parallel
+gate evaluation /root/reference/src/plonk/mod.rs:461-530) with a layout the
+VPU can chew through 128 lanes at a time.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 16
+NUM_LIMBS = 16
+MASK = (1 << LIMB_BITS) - 1
+
+
+def int_to_limbs(v: int) -> np.ndarray:
+    return np.array(
+        [(v >> (LIMB_BITS * i)) & MASK for i in range(NUM_LIMBS)], dtype=np.uint32
+    )
+
+
+def ints_to_limbs(vals) -> np.ndarray:
+    out = np.empty((len(vals), NUM_LIMBS), dtype=np.uint32)
+    for i, v in enumerate(vals):
+        out[i] = int_to_limbs(v if isinstance(v, int) else v.v)
+    return out
+
+
+def limbs_to_int(arr) -> int:
+    arr = np.asarray(arr, dtype=np.uint64)
+    return sum(int(arr[i]) << (LIMB_BITS * i) for i in range(NUM_LIMBS))
+
+
+def limbs_to_ints(arr) -> list:
+    arr = np.asarray(arr)
+    flat = arr.reshape(-1, NUM_LIMBS)
+    return [limbs_to_int(row) for row in flat]
+
+
+def _normalize(acc):
+    """Ripple deferred carries so every limb is < 2^16.
+
+    acc: (..., K) uint32 columns with values < 2^31; returns same K columns
+    (the caller guarantees the top column absorbs the final carry).
+    """
+    k = acc.shape[-1]
+    cols = [acc[..., i] for i in range(k)]
+    for i in range(k - 1):
+        carry = cols[i] >> LIMB_BITS
+        cols[i] = cols[i] & MASK
+        cols[i + 1] = cols[i + 1] + carry
+    return jnp.stack(cols, axis=-1)
+
+
+def _geq(a, b):
+    """a >= b lexicographically over little-endian limbs; (...,) bool."""
+    # scan from least-significant: result = a_i > b_i ? True : (a_i < b_i ? False : prev)
+    res = jnp.ones(a.shape[:-1], dtype=bool)
+    for i in range(NUM_LIMBS):
+        gt = a[..., i] > b[..., i]
+        lt = a[..., i] < b[..., i]
+        res = jnp.where(gt, True, jnp.where(lt, False, res))
+    return res
+
+
+def _sub_limbs(a, b):
+    """(a - b) over limbs, assuming a >= b. uint32 in, uint32 out."""
+    out = []
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    for i in range(a.shape[-1]):
+        d = a[..., i] + (MASK + 1) - b[..., i] - borrow
+        out.append(d & MASK)
+        borrow = 1 - (d >> LIMB_BITS)  # 1 if we actually borrowed
+    return jnp.stack(out, axis=-1)
+
+
+class LimbField:
+    """Vectorized Montgomery arithmetic for one prime modulus.
+
+    All device methods operate on uint32 arrays of shape (..., 16) and keep
+    values in Montgomery form unless stated otherwise.
+    """
+
+    def __init__(self, modulus: int):
+        assert modulus.bit_length() <= 255
+        self.modulus = modulus
+        self.p_np = int_to_limbs(modulus)
+        r = 1 << (LIMB_BITS * NUM_LIMBS)
+        self.r_mod_p = r % modulus
+        self.r2_np = int_to_limbs((r * r) % modulus)
+        self.n0inv = (-pow(modulus, -1, 1 << LIMB_BITS)) & MASK
+        self.one_plain_np = int_to_limbs(1)
+        self.one_mont_np = int_to_limbs(self.r_mod_p)
+        # jit the hot kernels once per field instance (they unroll to many
+        # small uint32 ops; eager dispatch would dominate otherwise)
+        self.add = jax.jit(self.add)
+        self.sub = jax.jit(self.sub)
+        self.neg = jax.jit(self.neg)
+        self.mul = jax.jit(self.mul)
+        self.square = jax.jit(self.square)
+        self.double = jax.jit(self.double)
+        self.inv = jax.jit(self.inv)
+        self.pow_int = jax.jit(self.pow_int, static_argnums=1)
+
+    # -- host <-> device boundaries ----------------------------------------
+    def encode(self, vals) -> jnp.ndarray:
+        """Python ints / host field elements -> Montgomery limb array."""
+        vals = [v if isinstance(v, int) else v.v for v in vals]
+        r = 1 << (LIMB_BITS * NUM_LIMBS)
+        return jnp.asarray(
+            ints_to_limbs([(v * r) % self.modulus for v in vals]), dtype=jnp.uint32
+        )
+
+    def decode(self, arr) -> list:
+        """Montgomery limb array -> Python ints (canonical)."""
+        rinv = pow(1 << (LIMB_BITS * NUM_LIMBS), -1, self.modulus)
+        return [(v * rinv) % self.modulus for v in limbs_to_ints(np.asarray(arr))]
+
+    # -- constants on device -------------------------------------------------
+    def zero(self, shape=()) -> jnp.ndarray:
+        return jnp.zeros((*shape, NUM_LIMBS), dtype=jnp.uint32)
+
+    def one(self, shape=()) -> jnp.ndarray:
+        return jnp.broadcast_to(
+            jnp.asarray(self.one_mont_np, dtype=jnp.uint32), (*shape, NUM_LIMBS)
+        )
+
+    def const(self, v: int, shape=()) -> jnp.ndarray:
+        """Plain int -> broadcast Montgomery-form constant."""
+        r = 1 << (LIMB_BITS * NUM_LIMBS)
+        limbs = jnp.asarray(int_to_limbs((v * r) % self.modulus), dtype=jnp.uint32)
+        return jnp.broadcast_to(limbs, (*shape, NUM_LIMBS))
+
+    # -- ring ops ------------------------------------------------------------
+    def add(self, a, b):
+        acc = a.astype(jnp.uint32) + b
+        # one extra column for the potential carry out of limb 15
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((*acc.shape[:-1], 1), jnp.uint32)], axis=-1
+        )
+        acc = _normalize(acc)
+        return self._cond_sub_p(acc)
+
+    def neg(self, a):
+        p = jnp.asarray(self.p_np, dtype=jnp.uint32)
+        is_zero = self.is_zero(a)
+        d = _sub_limbs(jnp.broadcast_to(p, a.shape), a)
+        return jnp.where(is_zero[..., None], a, d)
+
+    def sub(self, a, b):
+        return self.add(a, self.neg(b))
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def mul(self, a, b):
+        """CIOS Montgomery multiplication: mont(a) * mont(b) -> mont(a*b).
+
+        Lazy per-column accumulation: columns stay < 2^23 across all 16
+        rounds, so carries ripple only once at the end.
+        """
+        p = jnp.asarray(self.p_np, dtype=jnp.uint32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        acc = jnp.zeros((*shape[:-1], NUM_LIMBS + 1), jnp.uint32)
+        zero_col = jnp.zeros((*shape[:-1], 1), jnp.uint32)
+        for i in range(NUM_LIMBS):
+            prod = a[..., i : i + 1] * b  # exact 32-bit products of 16-bit limbs
+            acc = acc.at[..., :NUM_LIMBS].add(prod & MASK)
+            acc = acc.at[..., 1:].add(prod >> LIMB_BITS)
+            m = (acc[..., 0] * self.n0inv) & MASK
+            q = m[..., None] * p
+            acc = acc.at[..., :NUM_LIMBS].add(q & MASK)
+            acc = acc.at[..., 1:].add(q >> LIMB_BITS)
+            carry = acc[..., 0] >> LIMB_BITS  # acc[...,0] ≡ 0 mod 2^16 now
+            acc = jnp.concatenate([acc[..., 1:], zero_col], axis=-1)
+            acc = acc.at[..., 0].add(carry)
+        acc = _normalize(acc)  # 17 columns, value < 2p
+        return self._cond_sub_p(acc)
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def _cond_sub_p(self, acc17):
+        """acc17: (...,17) normalized limbs with value < 2p (< 2^256 + p).
+        Subtract p at most twice; return canonical 16 limbs."""
+        p17 = jnp.concatenate(
+            [jnp.asarray(self.p_np, jnp.uint32), jnp.zeros(1, jnp.uint32)]
+        )
+        p17 = jnp.broadcast_to(p17, acc17.shape)
+        for _ in range(2):
+            ge = _geq(acc17, p17)
+            sub = _sub_limbs(acc17, p17)
+            acc17 = jnp.where(ge[..., None], sub, acc17)
+        return acc17[..., :NUM_LIMBS]
+
+    # -- derived ops ---------------------------------------------------------
+    def pow_int(self, a, e: int):
+        """a^e for a static Python-int exponent.
+
+        Implemented as a lax.scan over the exponent bits (LSB first) so the
+        compiled graph stays small (2 muls) regardless of exponent size.
+        """
+        if e == 0:
+            return self.one(a.shape[:-1])
+        nbits = e.bit_length()
+        bits = jnp.asarray(
+            np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32)
+        )
+
+        def body(carry, bit):
+            result, base = carry
+            mul_res = self.mul(result, base)
+            result = jnp.where(bit > 0, mul_res, result)
+            base = self.mul(base, base)
+            return (result, base), None
+
+        (result, _), _ = jax.lax.scan(body, (self.one(a.shape[:-1]), a), bits)
+        return result
+
+    def inv(self, a):
+        """Batch inversion via Fermat (maps 0 -> 0, matching invert_or_zero)."""
+        return self.pow_int(a, self.modulus - 2)
+
+    def is_zero(self, a):
+        return jnp.all(a == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(a == b, axis=-1)
+
+    def select(self, mask, a, b):
+        """mask ? a : b  (mask shape (...,), operands (...,16))."""
+        return jnp.where(mask[..., None], a, b)
+
+    def sum(self, a, axis=0):
+        """Field sum along an axis via halving tree of field adds (exact)."""
+        a = jnp.moveaxis(a, axis, 0)
+        while a.shape[0] > 1:
+            n = a.shape[0]
+            half = n // 2
+            lo = self.add(a[:half], a[half : 2 * half])
+            if n % 2:
+                lo = lo.at[0].set(self.add(lo[0], a[-1]))
+            a = lo
+        return a[0]
+
+
+@lru_cache(maxsize=None)
+def limb_field(modulus: int) -> LimbField:
+    return LimbField(modulus)

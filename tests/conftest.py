@@ -1,11 +1,30 @@
 """Test configuration: force a virtual 8-device CPU mesh so multi-chip
-sharding paths are exercised without TPU hardware."""
+sharding paths are exercised without TPU hardware.
+
+NOTE: the environment exports JAX_PLATFORMS=axon (remote TPU tunnel); tests
+must override it -- remote compiles are slow and flaky for the CI-style suite.
+Benchmarks (bench.py) intentionally keep the axon TPU platform.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon (remote TPU tunnel) PJRT plugin registers itself in every python
+# process via sitecustomize; merely having it registered makes the first
+# device->host transfer stall for ~100s intermittently. Deregister it for the
+# CPU test suite before any backend is initialized.
+try:
+    import jax
+    from jax._src import xla_bridge
+
+    jax.config.update("jax_platforms", "cpu")
+    xla_bridge._backend_factories.pop("axon", None)
+    xla_bridge._backend_factories.pop("tpu", None)
+except Exception:
+    pass

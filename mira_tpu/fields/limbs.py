@@ -179,10 +179,11 @@ class LimbField:
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         a = jnp.broadcast_to(a, shape)
         b = jnp.broadcast_to(b, shape)
-        acc = jnp.zeros((*shape[:-1], NUM_LIMBS + 1), jnp.uint32)
         zero_col = jnp.zeros((*shape[:-1], 1), jnp.uint32)
-        for i in range(NUM_LIMBS):
-            prod = a[..., i : i + 1] * b  # exact 32-bit products of 16-bit limbs
+
+        def round_(i, acc):
+            ai = jax.lax.dynamic_index_in_dim(a, i, axis=a.ndim - 1, keepdims=True)
+            prod = ai * b  # exact 32-bit products of 16-bit limbs
             acc = acc.at[..., :NUM_LIMBS].add(prod & MASK)
             acc = acc.at[..., 1:].add(prod >> LIMB_BITS)
             m = (acc[..., 0] * self.n0inv) & MASK
@@ -191,7 +192,10 @@ class LimbField:
             acc = acc.at[..., 1:].add(q >> LIMB_BITS)
             carry = acc[..., 0] >> LIMB_BITS  # acc[...,0] ≡ 0 mod 2^16 now
             acc = jnp.concatenate([acc[..., 1:], zero_col], axis=-1)
-            acc = acc.at[..., 0].add(carry)
+            return acc.at[..., 0].add(carry)
+
+        acc = jnp.zeros((*shape[:-1], NUM_LIMBS + 1), jnp.uint32)
+        acc = jax.lax.fori_loop(0, NUM_LIMBS, round_, acc, unroll=2)
         acc = _normalize(acc)  # 17 columns, value < 2p
         return self._cond_sub_p(acc)
 

@@ -26,5 +26,12 @@ try:
     jax.config.update("jax_platforms", "cpu")
     xla_bridge._backend_factories.pop("axon", None)
     xla_bridge._backend_factories.pop("tpu", None)
+
+    # persistent compile cache: the big limb-arithmetic graphs (MSM bodies)
+    # take minutes to compile on XLA:CPU; pay once per machine.
+    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass

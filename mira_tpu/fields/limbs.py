@@ -243,6 +243,16 @@ class LimbField:
         """Batch inversion via Fermat (maps 0 -> 0, matching invert_or_zero)."""
         return self.pow_int(a, self.modulus - 2)
 
+    def to_plain(self, a):
+        """Montgomery form -> plain limbs (for MSM scalar digits)."""
+        one = jnp.asarray(self.one_plain_np, dtype=jnp.uint32)
+        return self.mul(a, jnp.broadcast_to(one, a.shape))
+
+    def from_plain(self, a):
+        """Plain limbs -> Montgomery form."""
+        r2 = jnp.asarray(self.r2_np, dtype=jnp.uint32)
+        return self.mul(a, jnp.broadcast_to(r2, a.shape))
+
     def is_zero(self, a):
         return jnp.all(a == 0, axis=-1)
 

@@ -1,0 +1,131 @@
+"""Pedersen vector commitment key (reference /root/reference/src/commitment.rs).
+
+Generator derivation follows the reference's structure: a Shake256 XOF seeded
+with the label emits 32 uniform bytes per generator, which are mapped to a
+curve point.  PARITY NOTE: the reference maps via halo2curves'
+`hash_to_curve("from_uniform_bytes")` (an SVDW map); we use a deterministic
+SHA3-based try-and-increment map.  Keys are internally consistent (prover and
+verifier share them) but not byte-identical to halo2curves-derived keys; this
+is a recorded parity gap, not a protocol divergence.
+
+Commitments run through the device MSM; keys are cached on disk as .npy
+(the reference caches raw-memory dumps, commitment.rs:96-167).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import jax.numpy as jnp
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ..curves.host import AffinePoint, CurveParams
+from ..curves.jax_curve import jacobian_ops
+from ..fields.host import field
+from ..fields.limbs import NUM_LIMBS, ints_to_limbs, limbs_to_ints
+from .msm import encode_scalars, msm
+
+
+def map_to_curve(curve: CurveParams, uniform_bytes: bytes) -> AffinePoint:
+    """Deterministic hash-to-curve: SHA3 try-and-increment, even root."""
+    F = field(curve.base_modulus)
+    x0 = int.from_bytes(
+        hashlib.sha3_256(b"mira-tpu-htc" + uniform_bytes).digest(), "little"
+    )
+    ctr = 0
+    while True:
+        x = F(x0 + ctr)
+        y2 = x * x * x + F(curve.b)
+        y = y2.sqrt()
+        if y is not None:
+            if y.v % 2 == 1:
+                y = -y
+            return AffinePoint(curve, x, y)
+        ctr += 1
+
+
+class CommitmentKey:
+    def __init__(self, curve: CurveParams, points: List[AffinePoint]):
+        self.curve = curve
+        self.points = points
+        ops = jacobian_ops(curve.name)
+        self._enc = ops.encode_points(points)  # (X, Y, Z) Montgomery limb arrays
+
+    def __len__(self):
+        return len(self.points)
+
+    @classmethod
+    def setup(cls, curve: CurveParams, k: int, label: bytes = b"") -> "CommitmentKey":
+        n = 1 << k
+        xof = hashlib.shake_256(label)
+        stream = xof.digest(32 * n)
+        points = [
+            map_to_curve(curve, stream[32 * i : 32 * (i + 1)]) for i in range(n)
+        ]
+        return cls(curve, points)
+
+    @classmethod
+    def load_or_setup_cache(
+        cls, curve: CurveParams, k: int, label: str, cache_dir: str = ".cache/ck"
+    ) -> "CommitmentKey":
+        path = os.path.join(cache_dir, curve.name, label, f"{k}.npy")
+        if os.path.exists(path):
+            arr = np.load(path)  # (n, 2) object? store as limb uint32 (n,2,16)
+            F = field(curve.base_modulus)
+            xs = limbs_to_ints(arr[:, 0])
+            ys = limbs_to_ints(arr[:, 1])
+            points = []
+            for x, y in zip(xs, ys):
+                p = AffinePoint(curve, F(x), F(y))
+                assert p.is_on_curve(), "corrupted commitment key cache"
+                points.append(p)
+            return cls(curve, points)
+        key = cls.setup(curve, k, label.encode())
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        arr = np.stack(
+            [
+                ints_to_limbs([p.x.v for p in key.points]),
+                ints_to_limbs([p.y.v for p in key.points]),
+            ],
+            axis=1,
+        )
+        np.save(path, arr)
+        return key
+
+    # -- commitment ----------------------------------------------------------
+    def commit_ints(self, values: List[int]) -> AffinePoint:
+        """Commit to raw scalar ints (host API)."""
+        if len(values) > len(self.points):
+            raise ValueError(
+                f"input too long: {len(values)} > key size {len(self.points)}"
+            )
+        sc = encode_scalars(values, self.curve.scalar_modulus)
+        return self._commit_plain_limbs(sc)
+
+    def commit_device(self, witness_mont) -> AffinePoint:
+        """Commit to a device Montgomery limb vector (the hot path)."""
+        n = witness_mont.shape[0]
+        if n > len(self.points):
+            raise ValueError(f"input too long: {n} > key size {len(self.points)}")
+        from ..fields.limbs import limb_field
+
+        lf = limb_field(self.curve.scalar_modulus)
+        return self._commit_plain_limbs(lf.to_plain(witness_mont))
+
+    def _commit_plain_limbs(self, scalars) -> AffinePoint:
+        n = scalars.shape[0]
+        # pad to the next power of two with zero scalars: collapses the set of
+        # distinct MSM shapes (and therefore XLA compiles) to log-many
+        n_pad = 1 << max((n - 1).bit_length(), 0)
+        n_pad = min(max(n_pad, 1), len(self.points))
+        if n_pad < n:
+            n_pad = len(self.points)
+        if n_pad > n:
+            pad = np.zeros((n_pad - n, scalars.shape[1]), dtype=np.uint32)
+            scalars = jnp.concatenate([scalars, jnp.asarray(pad)], axis=0)
+        ops = jacobian_ops(self.curve.name)
+        pts = tuple(c[:n_pad] for c in self._enc)
+        out = msm(scalars, pts, self.curve)
+        return ops.decode_points(tuple(c[None] for c in out))[0]

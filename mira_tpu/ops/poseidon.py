@@ -349,3 +349,9 @@ class PoseidonHash:
         state = mat_vec(spec.mds, state)
 
         self.state = state
+
+
+def create_ro(base_modulus: int, t: int = 5, rate: int = 4, r_f: int = 10, r_p: int = 10) -> "PoseidonHash":
+    """Random oracle over a curve's base field (IVC default T=5/RATE=4/
+    R_F=R_P=10, reference examples/trivial/main.rs:24-25,72-73)."""
+    return PoseidonHash(get_spec(base_modulus, t, rate, r_f, r_p))

@@ -1,0 +1,208 @@
+"""End-to-end protocol tests: circuit -> structure -> SPS -> fold -> verify.
+
+Plays the role of the reference's nifs/vanilla/tests.rs + nifs/tests.rs
+fixtures (prepare traces, fold, cross-check prove vs verify, then is_sat*
+of the folded trace).
+"""
+
+import random
+
+import pytest
+
+from mira_tpu.curves.host import BN254_G1, AffinePoint
+from mira_tpu.fields.params import BN254_FQ, BN254_FR
+from mira_tpu.nifs.vanilla import VanillaFS
+from mira_tpu.ops.commitment import CommitmentKey
+from mira_tpu.ops.poseidon import create_ro
+from mira_tpu.plonk.structure import SatError, SpsError
+from mira_tpu.polynomial.evaluator import EvalDomain, eval_rows_host
+from mira_tpu.table.runner import CircuitRunner
+
+K = 4  # 16 rows
+
+
+class MulCircuit:
+    """Single custom gate: q * (a*b - c) = 0 with a copy constraint a[1]=c[0].
+    Exercises SPS-0 (no challenges)."""
+
+    def __init__(self, seed=0):
+        self.seed = seed
+
+    @staticmethod
+    def configure(cs):
+        q = cs.fixed_column()
+        a, b, c = (cs.advice_column() for _ in range(3))
+        for col in (a, b, c):
+            cs.enable_equality(col)
+        qe, ae, be, ce = (cs.query(x) for x in (q, a, b, c))
+        cs.create_gate("mul", [qe * (ae * be - ce)])
+        return (q, a, b, c)
+
+    def synthesize(self, config, ctx):
+        q, a, b, c = config
+        rng = random.Random(self.seed)
+        t = ctx.table
+        p = t.modulus
+        # row 0
+        a0, b0 = rng.randrange(p), rng.randrange(p)
+        t.assign_fixed(q, 0, 1)
+        t.assign_advice(a, 0, a0)
+        t.assign_advice(b, 0, b0)
+        c0 = t.assign_advice(c, 0, a0 * b0 % p)
+        # row 1: a[1] copies c[0]
+        b1 = rng.randrange(p)
+        t.assign_fixed(q, 1, 1)
+        a1 = t.assign_advice(a, 1, c0.value)
+        t.assign_advice(b, 1, b1)
+        t.assign_advice(c, 1, c0.value * b1 % p)
+        t.copy(c0.cell, a1.cell)
+        for row in range(2, 8):
+            av, bv = rng.randrange(p), rng.randrange(p)
+            t.assign_fixed(q, row, 1)
+            t.assign_advice(a, row, av)
+            t.assign_advice(b, row, bv)
+            t.assign_advice(c, row, av * bv % p)
+
+
+class TwoGateCircuit:
+    """Two custom gates -> compressed with a challenge, SPS-1."""
+
+    def __init__(self, seed=0):
+        self.seed = seed
+
+    @staticmethod
+    def configure(cs):
+        q1 = cs.fixed_column()
+        q2 = cs.fixed_column()
+        a, b, c = (cs.advice_column() for _ in range(3))
+        q1e, q2e, ae, be, ce = (cs.query(x) for x in (q1, q2, a, b, c))
+        cs.create_gate("mul", [q1e * (ae * be - ce)])
+        cs.create_gate("add", [q2e * (ae + be - ce)])
+        return (q1, q2, a, b, c)
+
+    def synthesize(self, config, ctx):
+        q1, q2, a, b, c = config
+        rng = random.Random(self.seed)
+        t = ctx.table
+        p = t.modulus
+        for row in range(12):
+            av, bv = rng.randrange(p), rng.randrange(p)
+            t.assign_advice(a, row, av)
+            t.assign_advice(b, row, bv)
+            if row % 2 == 0:
+                t.assign_fixed(q1, row, 1)
+                t.assign_advice(c, row, av * bv % p)
+            else:
+                t.assign_fixed(q2, row, 1)
+                t.assign_advice(c, row, (av + bv) % p)
+
+
+def setup(circuit_cls, seed=0):
+    runner = CircuitRunner(K, circuit_cls(seed), [], BN254_G1)
+    S = runner.collect_structure()
+    advice = runner.collect_witness()
+    ck = CommitmentKey.setup(BN254_G1, K + 2, b"test")
+    return S, advice, ck
+
+
+def ro():
+    return create_ro(BN254_FQ)
+
+
+@pytest.mark.parametrize("circuit_cls", [MulCircuit, TwoGateCircuit])
+def test_sps_and_is_sat(circuit_cls):
+    S, advice, ck = setup(circuit_cls)
+    trace = S.run_sps_protocol(ck, [], advice, ro())
+    S.is_sat(ck, ro(), trace.u, trace.w)  # raises on failure
+
+    # tampered witness must fail
+    bad = [list(col) for col in advice]
+    bad[2][0] = (bad[2][0] + 1) % S.modulus
+    bad_trace = S.run_sps_protocol(ck, [], bad, ro())
+    with pytest.raises(SatError):
+        S.is_sat(ck, ro(), bad_trace.u, bad_trace.w)
+
+
+@pytest.mark.parametrize("circuit_cls", [MulCircuit, TwoGateCircuit])
+def test_fold_two_steps(circuit_cls):
+    S, advice1, ck = setup(circuit_cls, seed=1)
+    runner2 = CircuitRunner(K, circuit_cls(2), [], BN254_G1)
+    advice2 = runner2.collect_witness()
+
+    pp, vp = VanillaFS.setup_params(AffinePoint.generator(BN254_G1), S)
+
+    trace1 = VanillaFS.generate_plonk_trace(ck, [], advice1, pp, ro())
+    trace2 = VanillaFS.generate_plonk_trace(ck, [], advice2, pp, ro())
+
+    from mira_tpu.plonk.structure import RelaxedPlonkTrace
+
+    acc = trace1.to_relax(S.k)  # wait: start from zero accumulator instead
+    # zero accumulator
+    from mira_tpu.plonk.structure import (
+        RelaxedPlonkInstance,
+        RelaxedPlonkWitness,
+    )
+
+    acc = RelaxedPlonkTrace(
+        RelaxedPlonkInstance.new(
+            S.curve, S.num_io, S.num_challenges, len(S.round_sizes),
+            S.num_g1_elems, S.num_g2_elems,
+        ),
+        RelaxedPlonkWitness.zeros(S.lf, S.k, S.round_sizes),
+    )
+    S.is_sat_relaxed(ck, acc.U, acc.W)  # zero accumulator satisfies
+
+    rng = random.Random(7)
+    acc1, proof1 = VanillaFS.prove(ck, pp, ro(), acc, trace1, rng=rng)
+    S.is_sat_relaxed(ck, acc1.U, acc1.W)
+
+    # off-circuit verifier reproduces the folded instance
+    U_v = VanillaFS.verify(vp, ro(), ro(), acc.U, trace1.u, proof1)
+    assert U_v == acc1.U
+
+    acc2, proof2 = VanillaFS.prove(ck, pp, ro(), acc1, trace2, rng=rng)
+    S.is_sat_relaxed(ck, acc2.U, acc2.W)
+    S.is_sat_perm(acc2.U, acc2.W)
+
+    U_v2 = VanillaFS.verify(vp, ro(), ro(), acc1.U, trace2.u, proof2)
+    assert U_v2 == acc2.U
+
+
+def test_cross_terms_numeric_vs_symbolic():
+    """The numeric (evaluate+interpolate) cross terms must equal the
+    symbolic GroupedPoly slice evaluation (the reference's algorithm)."""
+    S, advice1, ck = setup(TwoGateCircuit, seed=3)
+    runner2 = CircuitRunner(K, TwoGateCircuit(4), [], BN254_G1)
+    advice2 = runner2.collect_witness()
+
+    pp, _ = VanillaFS.setup_params(AffinePoint.generator(BN254_G1), S)
+    trace1 = VanillaFS.generate_plonk_trace(ck, [], advice1, pp, ro())
+    trace2 = VanillaFS.generate_plonk_trace(ck, [], advice2, pp, ro())
+    acc = trace1.to_relax(S.k)
+
+    cross_terms, _ = VanillaFS.commit_cross_terms(
+        ck, S, acc.U, acc.W, trace2.u, trace2.w
+    )
+
+    # symbolic: evaluate each grouped slice per row on host
+    dom = EvalDomain(
+        modulus=S.modulus,
+        num_advice=S.num_advice_columns,
+        num_lookup=S.num_lookups(),
+        challenges=list(acc.U.challenges) + [acc.U.u]
+        + list(trace2.u.challenges) + [1],
+        selectors=S.selectors,
+        fixed=S.fixed_columns,
+        W1s=[S.lf.decode(w) for w in acc.W.W],
+        W2s=[S.lf.decode(w) for w in trace2.w.W],
+    )
+    slices = S.compressed_gates.grouped.iter_from_first()
+    assert len(slices) == len(cross_terms)
+    for k, (expr, numeric) in enumerate(zip(slices, cross_terms), start=1):
+        want = (
+            eval_rows_host(expr, dom)
+            if expr is not None
+            else [0] * (1 << S.k)
+        )
+        got = S.lf.decode(numeric)
+        assert got == want, f"cross term {k} mismatch"

@@ -248,6 +248,15 @@ class MainGate:
         self.apply(ctx, (None, [1], [r, a_inv]), None, (p - 1, r))
         return r, a_inv
 
+    def square(self, ctx, a: AssignedValue) -> AssignedValue:
+        return self.mul(ctx, a, a)
+
+    def divide(self, ctx, a: AssignedValue, b: AssignedValue) -> AssignedValue:
+        """a / b via invert_with_flag (b=0 yields a*1, satisfiable garbage the
+        caller must mask -- gadgets/util.rs:255-264)."""
+        _, b_inv = self.invert_with_flag(ctx, b)
+        return self.mul(ctx, a, b_inv)
+
     def is_zero_term(self, ctx, a: AssignedValue) -> AssignedValue:
         return self.invert_with_flag(ctx, a)[0]
 

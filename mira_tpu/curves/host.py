@@ -177,6 +177,90 @@ def msm_host(scalars: List[int], points: List[AffinePoint]) -> AffinePoint:
     return acc
 
 
+def msm_host_pippenger(
+    scalars: List[int], points: List[AffinePoint], window: int = 8
+) -> AffinePoint:
+    """Host Pippenger over Jacobian ints (the CPU fallback commitment path;
+    structurally the reference's best_multiexp bucket method)."""
+    assert len(scalars) == len(points)
+    curve = points[0].curve
+    p = curve.base_modulus
+
+    # jacobian ops over plain ints; None encodes infinity
+    def jdouble(pt):
+        if pt is None:
+            return None
+        X, Y, Z = pt
+        if Y == 0:
+            return None
+        A = X * X % p
+        B = Y * Y % p
+        C = B * B % p
+        D = 2 * ((X + B) ** 2 - A - C) % p
+        E = 3 * A % p
+        F = E * E % p
+        X3 = (F - 2 * D) % p
+        Y3 = (E * (D - X3) - 8 * C) % p
+        Z3 = 2 * Y * Z % p
+        return (X3, Y3, Z3)
+
+    def jadd(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        X1, Y1, Z1 = a
+        X2, Y2, Z2 = b
+        Z1Z1 = Z1 * Z1 % p
+        Z2Z2 = Z2 * Z2 % p
+        U1 = X1 * Z2Z2 % p
+        U2 = X2 * Z1Z1 % p
+        S1 = Y1 * Z2 * Z2Z2 % p
+        S2 = Y2 * Z1 * Z1Z1 % p
+        H = (U2 - U1) % p
+        R = (S2 - S1) % p
+        if H == 0:
+            if R == 0:
+                return jdouble(a)
+            return None
+        HH = H * H % p
+        HHH = H * HH % p
+        V = U1 * HH % p
+        X3 = (R * R - HHH - 2 * V) % p
+        Y3 = (R * (V - X3) - S1 * HHH) % p
+        Z3 = Z1 * Z2 * H % p
+        return (X3, Y3, Z3)
+
+    jac_pts = [None if q.is_inf else (q.x.v, q.y.v, 1) for q in points]
+    nbits = curve.scalar_modulus.bit_length()
+    nwin = (nbits + window - 1) // window
+    acc = None
+    for w in reversed(range(nwin)):
+        for _ in range(window):
+            acc = jdouble(acc)
+        buckets: dict = {}
+        shift = w * window
+        mask = (1 << window) - 1
+        for s, q in zip(scalars, jac_pts):
+            d = (s >> shift) & mask
+            if d and q is not None:
+                buckets[d] = jadd(buckets.get(d), q)
+        running, total = None, None
+        for d in range(mask, 0, -1):
+            if d in buckets:
+                running = jadd(running, buckets[d])
+            if running is not None:
+                total = jadd(total, running)
+        acc = jadd(acc, total)
+    if acc is None:
+        return AffinePoint.identity(curve)
+    X, Y, Z = acc
+    F = field(p)
+    zinv = pow(Z, -1, p)
+    zi2 = zinv * zinv % p
+    return AffinePoint(curve, F(X * zi2), F(Y * zi2 * zinv % p))
+
+
 # ---------------------------------------------------------------------------
 # Fq2 (Tuple2)
 # ---------------------------------------------------------------------------

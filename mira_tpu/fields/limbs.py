@@ -36,10 +36,12 @@ def int_to_limbs(v: int) -> np.ndarray:
 
 
 def ints_to_limbs(vals) -> np.ndarray:
-    out = np.empty((len(vals), NUM_LIMBS), dtype=np.uint32)
-    for i, v in enumerate(vals):
-        out[i] = int_to_limbs(v if isinstance(v, int) else v.v)
-    return out
+    """Python ints -> (n, 16) uint32 limb array (via fast byte packing)."""
+    buf = b"".join(
+        (v if isinstance(v, int) else v.v).to_bytes(32, "little") for v in vals
+    )
+    u16 = np.frombuffer(buf, dtype="<u2").reshape(len(vals), NUM_LIMBS)
+    return u16.astype(np.uint32)
 
 
 def limbs_to_int(arr) -> int:
@@ -48,9 +50,12 @@ def limbs_to_int(arr) -> int:
 
 
 def limbs_to_ints(arr) -> list:
-    arr = np.asarray(arr)
-    flat = arr.reshape(-1, NUM_LIMBS)
-    return [limbs_to_int(row) for row in flat]
+    """(n, 16) limb array -> python ints (via fast byte unpacking)."""
+    flat = np.asarray(arr).reshape(-1, NUM_LIMBS).astype("<u2")
+    buf = flat.tobytes()
+    return [
+        int.from_bytes(buf[32 * i : 32 * (i + 1)], "little") for i in range(len(flat))
+    ]
 
 
 def _normalize(acc):

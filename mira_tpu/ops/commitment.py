@@ -105,13 +105,29 @@ class CommitmentKey:
         return self._commit_plain_limbs(sc)
 
     def commit_device(self, witness_mont) -> AffinePoint:
-        """Commit to a device Montgomery limb vector (the hot path)."""
+        """Commit to a device Montgomery limb vector (the hot path).
+
+        Backend dispatch: the device MSM runs on TPU (or when MIRA_MSM=device);
+        on CPU hosts large MSMs fall back to the python Pippenger -- the
+        lane-parallel device MSM is built for accelerator throughput, not
+        XLA:CPU emulation.
+        """
         n = witness_mont.shape[0]
         if n > len(self.points):
             raise ValueError(f"input too long: {n} > key size {len(self.points)}")
         from ..fields.limbs import limb_field
 
         lf = limb_field(self.curve.scalar_modulus)
+        backend = os.environ.get("MIRA_MSM", "auto")
+        if backend != "device":
+            import jax
+
+            on_accel = jax.default_backend() not in ("cpu",)
+            if backend == "host" or (backend == "auto" and not on_accel and n > 4096):
+                from ..curves.host import msm_host_pippenger
+
+                vals = lf.decode(witness_mont)
+                return msm_host_pippenger(vals, self.points[:n])
         return self._commit_plain_limbs(lf.to_plain(witness_mont))
 
     def _commit_plain_limbs(self, scalars) -> AffinePoint:

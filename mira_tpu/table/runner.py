@@ -114,7 +114,7 @@ class CircuitRunner:
     def _synthesize(self) -> Tuple[ConstraintSystem, TableData]:
         if self._synthesized is None:
             cs = ConstraintSystem()
-            config = type(self.circuit).configure(cs)
+            config = self.circuit.configure(cs)
             table = TableData(self.k, cs, self.instance, self.curve.scalar_modulus)
             ctx = RegionCtx(table)
             self.circuit.synthesize(config, ctx)

@@ -1,0 +1,162 @@
+"""IVC layer tests: off/on-circuit instance-hash consistency, fold-chip
+consistency vs the off-circuit fold, and the trivial end-to-end IVC
+(the minimum slice of SURVEY.md §7 step 8)."""
+
+import random
+
+import pytest
+
+from mira_tpu.curves.host import BN254_G1, GRUMPKIN, AffinePoint, Tuple12
+from mira_tpu.fields.host import field
+from mira_tpu.gadgets.main_gate import MainGate
+from mira_tpu.gadgets.poseidon_chip import PoseidonChip
+from mira_tpu.ivc.fold_chip import FoldRelaxedPlonkInstanceChip
+from mira_tpu.ivc.instance_computation import (
+    compute_instance_hash,
+    compute_instance_hash_on_circuit,
+)
+from mira_tpu.ivc.ivc import IVC
+from mira_tpu.ivc.public_params import (
+    RO_R_F,
+    RO_R_P,
+    RO_RATE,
+    RO_T,
+    CircuitSide,
+    PublicParams,
+)
+from mira_tpu.ivc.step_circuit import TrivialCircuit
+from mira_tpu.ops.mock_commitment import MockCommitmentKey
+from mira_tpu.ops.poseidon import PoseidonHash, get_spec
+from mira_tpu.plonk.structure import PlonkInstance, RelaxedPlonkInstance
+from mira_tpu.table.circuit import ConstraintSystem, RegionCtx, TableData
+from mira_tpu.table.mock import mock_check
+
+LIMB_WIDTH, LIMBS_COUNT = 32, 10
+
+
+def random_relaxed(rng, curve=GRUMPKIN, n_w=1, n_ch=0):
+    """Random-ish relaxed instance over `curve` (instances live in the
+    curve's scalar field)."""
+    Fb = field(curve.base_modulus)
+    return RelaxedPlonkInstance(
+        curve=curve,
+        W_commitments=[AffinePoint.random(curve, rng) for _ in range(n_w)],
+        E_commitment=AffinePoint.random(curve, rng),
+        instance=[rng.randrange(1 << 250) for _ in range(2)],
+        challenges=[rng.randrange(1 << 128) for _ in range(n_ch)],
+        u=rng.randrange(1 << 120),
+        g1_elements=[],
+        g2_elements=[],
+        gt_element=Tuple12.one(Fb),
+    )
+
+
+def random_fresh(rng, curve=GRUMPKIN, n_w=1, n_ch=0):
+    return PlonkInstance(
+        curve=curve,
+        W_commitments=[AffinePoint.random(curve, rng) for _ in range(n_w)],
+        instance=[rng.randrange(1 << 250) for _ in range(2)],
+        challenges=[rng.randrange(1 << 128) for _ in range(n_ch)],
+        g1_elements=[],
+        g2_elements=[],
+    )
+
+
+def fresh_table(k=15):
+    # circuit over grumpkin base field = Fr (primary side layout)
+    cs = ConstraintSystem()
+    config = MainGate.configure(cs, 5)
+    table = TableData(k, cs, [], BN254_G1.scalar_modulus)
+    return cs, config, table, RegionCtx(table)
+
+
+def test_instance_hash_off_on_consistency():
+    """The off-circuit and on-circuit instance hashes must agree bit-exactly
+    (reference instance_computation.rs consistency test)."""
+    rng = random.Random(42)
+    relaxed = random_relaxed(rng)
+    cs, config, table, ctx = fresh_table()
+
+    spec = get_spec(BN254_G1.scalar_modulus, RO_T, RO_RATE, RO_R_F, RO_R_P)
+    pp_hash = AffinePoint.random(GRUMPKIN, rng)
+    step = 3
+    z_0 = [rng.randrange(table.modulus) for _ in range(2)]
+    z_i = [rng.randrange(table.modulus) for _ in range(2)]
+
+    off = compute_instance_hash(
+        PoseidonHash(spec), pp_hash, step, z_0, z_i, relaxed, LIMB_WIDTH, LIMBS_COUNT
+    )
+
+    chip = FoldRelaxedPlonkInstanceChip(relaxed, LIMB_WIDTH, LIMBS_COUNT, config)
+    mg = MainGate(config)
+    # assign the witness (absorbing into a throwaway RO), then hash on-circuit
+    w, _r = chip.assign_witness_with_challenge(
+        ctx, pp_hash, random_fresh(rng), [], [], PoseidonChip(config, spec)
+    )
+    from mira_tpu.gadgets.ecc import EccChip
+
+    ecc = EccChip(config, GRUMPKIN)
+    pp_cell = ecc.assign_point(ctx, pp_hash)
+    step_cell = mg.assign_value(ctx, step)
+    z0_cells = [mg.assign_value(ctx, v) for v in z_0]
+    zi_cells = [mg.assign_value(ctx, v) for v in z_i]
+    on = compute_instance_hash_on_circuit(
+        PoseidonChip(config, spec), ctx, config, pp_cell, step_cell,
+        z0_cells, zi_cells, w.assigned_relaxed,
+    )
+    assert on.value == off
+    mock_check(cs, table)
+
+
+def test_fold_chip_matches_off_circuit_fold():
+    """In-circuit fold == off-circuit RelaxedPlonkInstance.fold for the same
+    challenge (reference fold chip tests)."""
+    rng = random.Random(7)
+    relaxed = random_relaxed(rng, n_w=1, n_ch=0)
+    fresh = random_fresh(rng, n_w=1, n_ch=0)
+    cross = [AffinePoint.random(GRUMPKIN, rng) for _ in range(5)]
+
+    cs, config, table, ctx = fresh_table(k=17)
+    spec = get_spec(BN254_G1.scalar_modulus, RO_T, RO_RATE, RO_R_F, RO_R_P)
+    pp_hash = AffinePoint.random(GRUMPKIN, rng)
+
+    chip = FoldRelaxedPlonkInstanceChip(relaxed, LIMB_WIDTH, LIMBS_COUNT, config)
+    ro_chip = PoseidonChip(config, spec)
+    w, r_bits = chip.assign_witness_with_challenge(
+        ctx, pp_hash, fresh, cross, [], ro_chip
+    )
+    result = chip.fold(ctx, w, r_bits)
+    got = result.assigned_result_of_fold.to_relaxed_plonk_instance(
+        GRUMPKIN, LIMB_WIDTH, LIMBS_COUNT
+    )
+
+    # off-circuit twin: same challenge value
+    r_value = sum((1 << i) * b.value for i, b in enumerate(r_bits))
+    want = relaxed.fold(fresh, cross, [], r_value)
+    assert got.W_commitments == want.W_commitments
+    assert got.E_commitment == want.E_commitment
+    assert got.instance == want.instance
+    assert got.challenges == want.challenges
+    assert got.u == want.u
+    mock_check(cs, table)
+
+
+@pytest.mark.slow
+def test_trivial_ivc_end_to_end():
+    """The full minimum slice: two-curve IVC over trivial step circuits,
+    two fold steps, strict verification (matches examples/trivial)."""
+    K = 17
+    primary_ck = MockCommitmentKey(BN254_G1, 21, b"bn256")
+    secondary_ck = MockCommitmentKey(GRUMPKIN, 21, b"grumpkin")
+    pp = PublicParams(
+        CircuitSide(TrivialCircuit(arity=1), primary_ck, K),
+        CircuitSide(TrivialCircuit(arity=1), secondary_ck, K),
+        BN254_G1,
+        GRUMPKIN,
+    )
+    ivc = IVC(pp, TrivialCircuit(arity=1), [11], TrivialCircuit(arity=1), [22],
+              debug_mode=True)
+    ivc.fold_step()
+    ivc.fold_step()
+    ivc.verify(strict=True)
+    assert ivc.step == 3

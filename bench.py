@@ -1,0 +1,106 @@
+"""Benchmark harness: prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Headline metric: MSM throughput (points/s) on the available accelerator —
+the dominant kernel of the fold step (SURVEY.md §6 / BASELINE.md north star).
+`vs_baseline` is measured throughput / 1e6 points/s, the interim per-chip
+roofline target recorded in BASELINE.md (the reference publishes no absolute
+numbers).
+
+Env knobs: MIRA_BENCH_LOG_N (default 16), MIRA_BENCH_METRIC=msm|ntt.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    # persistent compile cache to amortize across rounds
+    os.makedirs(".jax_cache", exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    backend = jax.default_backend()
+    log_n = int(os.environ.get("MIRA_BENCH_LOG_N", "16" if backend != "cpu" else "10"))
+    which = os.environ.get("MIRA_BENCH_METRIC", "msm")
+    n = 1 << log_n
+
+    import random
+
+    from mira_tpu.fields.limbs import limb_field
+    from mira_tpu.fields.params import BN254_FR
+
+    rng = random.Random(0)
+    lf = limb_field(BN254_FR)
+
+    if which == "ntt":
+        from mira_tpu.ops.ntt import ntt
+
+        a = lf.encode([rng.randrange(BN254_FR) for _ in range(n)])
+        ntt(a, BN254_FR).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            out = ntt(a, BN254_FR)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        value = n / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"ntt_elems_per_sec@2^{log_n}/{backend}",
+                    "value": round(value, 1),
+                    "unit": "elems/s",
+                    "vs_baseline": round(value / 1e8, 4),
+                }
+            )
+        )
+        return
+
+    from mira_tpu.curves.host import BN254_G1, AffinePoint
+    from mira_tpu.curves.jax_curve import jacobian_ops
+    from mira_tpu.ops.msm import encode_scalars, msm
+
+    ops = jacobian_ops("bn254")
+    # one random point replicated is fine for throughput; scalars vary
+    base = AffinePoint.random(BN254_G1, rng)
+    pts = ops.encode_points([base])
+    import jax.numpy as jnp
+
+    pts = tuple(jnp.broadcast_to(c, (n, 16)) for c in pts)
+    scalars = encode_scalars(
+        [rng.randrange(BN254_G1.scalar_modulus) for _ in range(n)],
+        BN254_G1.scalar_modulus,
+    )
+
+    out = msm(scalars, pts, BN254_G1)  # compile + run
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = msm(scalars, pts, BN254_G1)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    value = n / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"msm_points_per_sec@2^{log_n}/{backend}",
+                "value": round(value, 1),
+                "unit": "points/s",
+                "vs_baseline": round(value / 1e6, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

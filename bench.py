@@ -72,13 +72,19 @@ def main():
     from mira_tpu.ops.msm import encode_scalars, msm
 
     ops = jacobian_ops("bn254")
-    # one random point replicated is fine for throughput; scalars vary
-    base = AffinePoint.random(BN254_G1, rng)
-    pts = ops.encode_points([base])
+    # distinct points (tiled but materialized -- a stride-0 broadcast of one
+    # point lets XLA collapse the whole per-lane computation)
+    base_n = min(n, 1024)
+    bases = [AffinePoint.random(BN254_G1, rng) for _ in range(base_n)]
+    pts = ops.encode_points(bases)
     import jax.numpy as jnp
 
-    pts = tuple(jnp.broadcast_to(c, (n, 16)) for c in pts)
+    pts = tuple(jnp.tile(c, (n // base_n, 1)) for c in pts)
     scalars = encode_scalars(
+        [rng.randrange(BN254_G1.scalar_modulus) for _ in range(n)],
+        BN254_G1.scalar_modulus,
+    )
+    scalars2 = encode_scalars(
         [rng.randrange(BN254_G1.scalar_modulus) for _ in range(n)],
         BN254_G1.scalar_modulus,
     )
@@ -86,7 +92,7 @@ def main():
     out = msm(scalars, pts, BN254_G1)  # compile + run
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = msm(scalars, pts, BN254_G1)
+    out = msm(scalars2, pts, BN254_G1)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     value = n / dt

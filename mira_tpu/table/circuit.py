@@ -61,12 +61,17 @@ class ConstraintSystem:
     def enable_equality(self, col: Column):
         self.equality_columns.add(col)
 
+    # Advice queries use a sentinel base because `num_fixed` may still grow
+    # (a later chip's configure can add fixed columns); build_metainfo remaps
+    # sentinel indices to `final_num_fixed + col` once all columns exist.
+    ADVICE_SENTINEL = 1 << 24
+
     def query(self, col: Column, rotation: int = 0) -> Expression:
         """Query a column as an expression (index space: fixed < advice)."""
         if col.kind == "fixed":
             return Poly(Query(col.index, rotation))
         if col.kind == "advice":
-            return Poly(Query(self.num_fixed + col.index, rotation))
+            return Poly(Query(self.ADVICE_SENTINEL + col.index, rotation))
         raise ValueError("instance columns cannot be queried in gates")
 
     def create_gate(self, name: str, exprs: List[Expression]):

@@ -11,6 +11,21 @@ from ..polynomial.evaluator import EvalDomain, eval_rows_host
 from .circuit import ConstraintSystem, TableData
 
 
+def _resolved_gates_and_lookups(cs: ConstraintSystem):
+    from .runner import _remap_advice
+
+    gates = [_remap_advice(g, cs.num_fixed) for g in cs.gates]
+    lookups = [
+        (
+            name,
+            [_remap_advice(e, cs.num_fixed) for e in inputs],
+            [_remap_advice(e, cs.num_fixed) for e in tables],
+        )
+        for name, inputs, tables in cs.lookups
+    ]
+    return gates, lookups
+
+
 class MockError(Exception):
     pass
 
@@ -33,7 +48,8 @@ def mock_check(cs: ConstraintSystem, table: TableData):
         W2s=[],
     )
 
-    for gate_idx, expr in enumerate(cs.gates):
+    gates, lookups = _resolved_gates_and_lookups(cs)
+    for gate_idx, expr in enumerate(gates):
         rows = eval_rows_host(expr, dom)
         bad = [r for r, v in enumerate(rows) if v % p != 0]
         if bad:
@@ -55,7 +71,7 @@ def mock_check(cs: ConstraintSystem, table: TableData):
             raise MockError(f"copy constraint violated: {a}={cell_value(a)} vs {b}={cell_value(b)}")
 
     # lookups: multiset inclusion of input rows in table rows
-    for name, inputs, tables in cs.lookups:
+    for name, inputs, tables in lookups:
         in_cols = [eval_rows_host(e, dom) for e in inputs]
         tb_cols = [eval_rows_host(e, dom) for e in tables]
         in_rows = list(zip(*in_cols))

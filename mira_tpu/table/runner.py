@@ -15,11 +15,38 @@ from ..curves.host import CurveParams
 from ..plonk.structure import LookupArguments, PlonkStructure
 from ..polynomial.expression import (
     CompressedGates,
+    Const,
+    Challenge,
     Expression,
+    Neg,
+    Poly,
+    Product,
+    Query,
     QueryIndexContext,
+    Scaled,
+    Sum,
     compress_expressions,
 )
 from .circuit import ConstraintSystem, RegionCtx, TableData
+
+
+def _remap_advice(expr: Expression, num_fixed: int) -> Expression:
+    """Resolve ADVICE_SENTINEL-based query indices to the final flat index
+    space (fixed columns may be added after a query is made)."""
+    sent = ConstraintSystem.ADVICE_SENTINEL
+    return expr.evaluate(
+        constant=lambda c: Const(c),
+        poly=lambda q: Poly(
+            Query(num_fixed + (q.index - sent), q.rotation)
+            if q.index >= sent
+            else q
+        ),
+        challenge=lambda i: Challenge(i),
+        negated=lambda a: Neg(a),
+        sum_=lambda a, b: Sum(a, b),
+        product=lambda a, b: Product(a, b),
+        scaled=lambda a, k: Scaled(a, k),
+    )
 
 
 def build_metainfo(
@@ -31,17 +58,28 @@ def build_metainfo(
     target_group_cross_terms: int = 0,
 ):
     """Mirrors ConstraintSystemMetainfo::build."""
+    # resolve advice sentinel indices now that all columns exist
+    gates_resolved = [_remap_advice(g, cs.num_fixed) for g in cs.gates]
+    lookups_resolved = [
+        (
+            name,
+            [_remap_advice(e, cs.num_fixed) for e in inputs],
+            [_remap_advice(e, cs.num_fixed) for e in tables],
+        )
+        for name, inputs, tables in cs.lookups
+    ]
+
     # lookup compression (reference plonk/lookup.rs:84-130)
     lookup_arguments: Optional[LookupArguments] = None
-    if cs.lookups:
-        has_vector_lookup = any(len(inputs) > 1 for _, inputs, _ in cs.lookups)
+    if lookups_resolved:
+        has_vector_lookup = any(len(inputs) > 1 for _, inputs, _ in lookups_resolved)
         lookup_polys = [
             compress_expressions(inputs, 0) if len(inputs) > 1 else inputs[0]
-            for _, inputs, _ in cs.lookups
+            for _, inputs, _ in lookups_resolved
         ]
         table_polys = [
             compress_expressions(tables, 0) if len(tables) > 1 else tables[0]
-            for _, _, tables in cs.lookups
+            for _, _, tables in lookups_resolved
         ]
         lookup_arguments = LookupArguments(lookup_polys, table_polys, has_vector_lookup)
 
@@ -56,7 +94,7 @@ def build_metainfo(
         num_challenges=2 if has_vector_lookup else (1 if num_lookups > 0 else 0),
     )
 
-    gates = list(cs.gates)
+    gates = list(gates_resolved)
     if lookup_arguments:
         gates.extend(lookup_arguments.vanishing_lookup_polys(ctx))
         gates.extend(lookup_arguments.log_derivative_lhs_and_rhs(ctx))

@@ -28,9 +28,11 @@ def fresh_table(k=10, t=5):
 def test_main_gate_expression_parity():
     """The T=2 gate expression must match the reference's exact string
     (reference main_gate.rs:900-935)."""
+    from mira_tpu.table.runner import _remap_advice
+
     cs = ConstraintSystem()
     MainGate.configure(cs, 2)
-    assert cs.gates[0].visualize() == (
+    assert _remap_advice(cs.gates[0], cs.num_fixed).visualize() == (
         "Z_4 * Z_9 * Z_10 + Z_6 * Z_11 + Z_8 + Z_7 * Z_12 + Z_0 * Z_9 + "
         "Z_2 * Z_9 * Z_9 * Z_9 * Z_9 * Z_9 + Z_1 * Z_10 + "
         "Z_3 * Z_10 * Z_10 * Z_10 * Z_10 * Z_10"
@@ -42,13 +44,17 @@ def test_main_gate_grouped_parity():
     (reference main_gate.rs test_main_gate_cross_term)."""
     from mira_tpu.polynomial.expression import CompressedGates, QueryIndexContext
 
+    from mira_tpu.table.runner import _remap_advice
+
     cs = ConstraintSystem()
     MainGate.configure(cs, 2)
     ctx = QueryIndexContext(
         num_selectors=0, num_fixed=cs.num_fixed, num_advice=cs.num_advice,
         num_challenges=0, num_lookups=0,
     )
-    compressed = CompressedGates.new(list(cs.gates), ctx)
+    compressed = CompressedGates.new(
+        [_remap_advice(g, cs.num_fixed) for g in cs.gates], ctx
+    )
     e1 = compressed.grouped.get(0)
     e2 = compressed.grouped.get(5)
     assert e1.visualize() == (

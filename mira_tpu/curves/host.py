@@ -349,21 +349,24 @@ class G2Point:
         self.is_inf = is_inf
 
     @classmethod
-    def identity(cls) -> "G2Point":
-        F = field(BN254_FQ)
+    def identity(cls, F=None) -> "G2Point":
+        F = F or field(BN254_FQ)
         return cls(Fq2.zero(F), Fq2.zero(F), True)
 
     @classmethod
-    def generator(cls) -> "G2Point":
-        F = field(BN254_FQ)
+    def generator(cls, F=None) -> "G2Point":
+        """NOTE: for F != bn254 Fq the constants are reduced into F -- the
+        reference instantiates the same constants in whatever C::Base is
+        current (its g2 elements are random placeholders anyway)."""
+        F = F or field(BN254_FQ)
         return cls(
             Fq2(F(G2_GEN_X[0]), F(G2_GEN_X[1])),
             Fq2(F(G2_GEN_Y[0]), F(G2_GEN_Y[1])),
         )
 
     @classmethod
-    def random(cls, rng) -> "G2Point":
-        return cls.generator().scalar_mul(rng.randrange(BN254_FR))
+    def random(cls, rng, F=None) -> "G2Point":
+        return cls.generator(F).scalar_mul(rng.randrange(BN254_FR))
 
     def is_on_curve(self) -> bool:
         if self.is_inf:
@@ -389,7 +392,7 @@ class G2Point:
     def double(self) -> "G2Point":
         if self.is_inf:
             return self
-        F = field(BN254_FQ)
+        F = type(self.x.c0)
         three = Fq2(F(3), F(0))
         lam = three.mul(self.x.square()).mul(self.y.add(self.y).invert())
         x = lam.square().sub(self.x).sub(self.x)
@@ -403,7 +406,7 @@ class G2Point:
 
     def scalar_mul(self, scalar: int | Fp) -> "G2Point":
         k = scalar.v if isinstance(scalar, Fp) else scalar % BN254_FR
-        res = G2Point.identity()
+        res = G2Point.identity(type(self.x.c0) if not self.is_inf else None)
         for i in reversed(range(k.bit_length())):
             res = res.double()
             if (k >> i) & 1:

@@ -363,8 +363,12 @@ class FoldRelaxedPlonkInstanceChip:
         return FoldResult(assigned_input=w, assigned_result_of_fold=result)
 
     def _fold_g2(self, ctx, folded_g2, input_g2, r_bits):
+        """new_g2[i] = folded_g2[i] + r * input_g2[i] (fold chip :540-562)."""
         if not folded_g2:
             return []
-        raise NotImplementedError(
-            "in-circuit G2 scalar-mul lands with the SnarkStar workload"
-        )
+        g2 = G2EccChip(self.config)
+        out = []
+        for W1, W2 in zip(folded_g2, input_g2):
+            rW = g2.scalar_mul(ctx, W2, r_bits)
+            out.append(g2.add_g2(ctx, W1, rW))
+        return out

@@ -30,6 +30,13 @@ class VerificationError(Exception):
     pass
 
 
+def _one_tuple12(curve):
+    from ..curves.host import Tuple12
+    from ..fields.host import field
+
+    return Tuple12.one(field(curve.base_modulus))
+
+
 @dataclasses.dataclass
 class _Context:
     relaxed_trace: RelaxedPlonkTrace
@@ -93,7 +100,10 @@ class IVC:
                     type(pp.digest_2).identity(pp.secondary_curve)
                     for _ in range(pp.secondary.S.get_degree_for_folding() - 1)
                 ],
-                cross_term_gt_commits=[],
+                cross_term_gt_commits=[
+                    _one_tuple12(pp.secondary_curve)
+                    for _ in range(pp.secondary.S.target_group_cross_terms)
+                ],
             ),
         )
         primary_witness = self._synthesize(
@@ -136,7 +146,10 @@ class IVC:
                     type(pp.digest_1).identity(pp.primary_curve)
                     for _ in range(pp.primary.S.get_degree_for_folding() - 1)
                 ],
-                cross_term_gt_commits=[],
+                cross_term_gt_commits=[
+                    _one_tuple12(pp.primary_curve)
+                    for _ in range(pp.primary.S.target_group_cross_terms)
+                ],
             ),
         )
         secondary_witness = self._synthesize(

@@ -103,14 +103,20 @@ class PublicParams:
         secondary_shape = sfc_shape(secondary.step_circuit, secondary.k)
 
         # --- primary structure (dry-run with defaults sized from secondary)
+        # NOTE: the primary SFC folds SECONDARY-curve instances, so its U/u
+        # slots are sized by the SECONDARY side's g1/g2/gt params.  The
+        # reference sizes each SFC with its own side's params
+        # (public_params.rs:330-346), which mismatches the runtime inputs for
+        # the pairing workloads -- masked there by the commented-out sat
+        # checks (ivc :617-680); we use the consistent sizing.
         primary_default_inputs = StepInputs.without_witness(
             (secondary_shape[0], secondary_shape[1]),
-            secondary_curve,  # primary circuit folds SECONDARY-curve instances
+            secondary_curve,
             primary.step_circuit.arity,
             primary_params,
-            primary.num_g1,
-            primary.num_g2,
-            primary.gt_cross_terms,
+            secondary.num_g1,
+            secondary.num_g2,
+            secondary.gt_cross_terms,
             secondary_shape[2],
         )
         primary_sfc = StepFoldingCircuit(primary.step_circuit, primary_default_inputs)
@@ -131,9 +137,9 @@ class PublicParams:
             primary_curve,
             secondary.step_circuit.arity,
             secondary_params,
-            secondary.num_g1,
-            secondary.num_g2,
-            secondary.gt_cross_terms,
+            primary.num_g1,
+            primary.num_g2,
+            primary.gt_cross_terms,
             primary_shape[2],
         )
         sec_z0 = [0] * secondary.step_circuit.arity

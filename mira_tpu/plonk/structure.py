@@ -263,8 +263,9 @@ class PlonkStructure:
         return out
 
     def _random_group_elements(self, rng):
+        Fb = field(self.curve.base_modulus)
         g1 = [AffinePoint.random(self.curve, rng) for _ in range(self.num_g1_elems)]
-        g2 = [G2Point.random(rng) for _ in range(self.num_g2_elems)]
+        g2 = [G2Point.random(rng, Fb) for _ in range(self.num_g2_elems)]
         return g1, g2
 
     def _sps_0(self, ck, instance, advice, rng) -> "PlonkTrace":
@@ -443,7 +444,7 @@ class PlonkInstance:
             [0] * num_io,
             [0] * num_challenges,
             [AffinePoint.identity(curve) for _ in range(num_g1)],
-            [G2Point.identity() for _ in range(num_g2)],
+            [G2Point.identity(field(curve.base_modulus)) for _ in range(num_g2)],
         )
 
     def to_relax(self) -> "RelaxedPlonkInstance":
@@ -498,7 +499,7 @@ class RelaxedPlonkInstance:
             [0] * num_challenges,
             0,
             [AffinePoint.identity(curve) for _ in range(num_g1)],
-            [G2Point.identity() for _ in range(num_g2)],
+            [G2Point.identity(Fb) for _ in range(num_g2)],
             Tuple12.one(Fb),
         )
 

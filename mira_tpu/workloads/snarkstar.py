@@ -1,0 +1,103 @@
+"""SnarkStar: Groth16-verifier folding — Mira's flagship pairing-based
+accumulation workload (reference /root/reference/examples/groth16/).
+
+The primary step circuit applies Merkle-tree updates (groth16 circuit.rs:120-164
+uses the same MerkleTreeUpdateChip); the SECONDARY side's instances carry the
+pairing data — per proof batch: num_g1 = 2*batch, num_g2 = 1*batch,
+gt_degree = 2, gt_cross_terms = 2*batch (groth16/main.rs:258-267) — so the
+PRIMARY step-folding circuit runs the in-circuit G2 scalar-muls and Fp12
+arithmetic of Mira's fold_g1/fold_g2/fold_gt.
+
+NOTE: the reference's SPS currently fills g1/g2 instance elements and Gt cross
+terms with *random placeholders* ("TODO(jbeal)", plonk/mod.rs:690-703,
+vanilla/mod.rs:130-134); the fold machinery is exercised on the same
+structure here.  Real ark-style Groth16 proof ingestion is a recorded gap on
+both sides.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+
+
+def table_sizes(batch_size: int):
+    """(k1, k2) ladder (groth16/main.rs:47-61)."""
+    ladder = {0: (21, 21), 1: (19, 19), 2: (20, 20), 4: (21, 21),
+              8: (22, 22), 16: (23, 23), 32: (24, 24)}
+    return ladder[batch_size]
+
+
+def ck_sizes(batch_size: int):
+    """(ck1, ck2) ladder (groth16/main.rs:63-77)."""
+    ladder = {0: (25, 24), 1: (23, 24), 2: (24, 24), 4: (25, 24),
+              8: (26, 25), 16: (27, 26), 32: (28, 27)}
+    return ladder[batch_size]
+
+
+def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
+        k_override: int | None = None, debug_mode: bool = False):
+    from ..curves.host import BN254_G1, GRUMPKIN
+    from ..ivc.ivc import IVC
+    from ..ivc.public_params import CircuitSide, PublicParams
+    from ..ivc.step_circuit import TrivialCircuit
+    from ..ops.commitment import CommitmentKey
+    from ..ops.mock_commitment import MockCommitmentKey
+    from .merkle import MerkleTreeUpdateCircuit
+
+    k1, k2 = (k_override, k_override) if k_override else table_sizes(batch_size)
+    ckk1, ckk2 = (k1 + 4, k2 + 4) if k_override else ck_sizes(batch_size)
+
+    rng = random.Random(0)
+    p_mod = BN254_G1.scalar_modulus
+    sc1 = MerkleTreeUpdateCircuit(p_mod, batch_size=1)
+    for _ in range(steps + 2):
+        sc1.random_update_leaves(rng)
+    sc2 = TrivialCircuit(arity=1)
+
+    if use_mock_ck:
+        ck1 = MockCommitmentKey(BN254_G1, min(ckk1, 22), b"bn256")
+        ck2 = MockCommitmentKey(GRUMPKIN, min(ckk2, 22), b"grumpkin")
+    else:
+        ck1 = CommitmentKey.load_or_setup_cache(BN254_G1, ckk1, "bn256")
+        ck2 = CommitmentKey.load_or_setup_cache(GRUMPKIN, ckk2, "grumpkin")
+
+    t0 = time.time()
+    pp = PublicParams(
+        CircuitSide(sc1, ck1, k1),
+        CircuitSide(
+            sc2, ck2, k2,
+            num_g1=2 * batch_size,
+            num_g2=1 * batch_size,
+            gt_degree=2,
+            gt_cross_terms=2 * batch_size,
+        ),
+        BN254_G1,
+        GRUMPKIN,
+    )
+    print(f"public params: {time.time() - t0:.1f}s")
+
+    z0 = [sc1.front_proof_batch()[0].root().old]
+    t0 = time.time()
+    ivc = IVC(pp, sc1, z0, sc2, [0], debug_mode=debug_mode)
+    print(f"ivc zero step: {time.time() - t0:.1f}s")
+    for step in range(steps):
+        sc1.pop_front_proof_batch()
+        t0 = time.time()
+        ivc.fold_step()
+        print(f"fold step {step + 1}: {time.time() - t0:.1f}s")
+    ivc.verify(strict=True)
+    print(f"SnarkStar: {steps} steps x batch {batch_size} verified OK")
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1)
+    ap.add_argument("--batch-size", type=int, default=1)
+    ap.add_argument("--k", type=int, default=None)
+    ap.add_argument("--real-ck", action="store_true")
+    ap.add_argument("--debug-mode", action="store_true")
+    args = ap.parse_args()
+    run(args.steps, args.batch_size, not args.real_ck, args.k, args.debug_mode)

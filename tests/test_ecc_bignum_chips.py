@@ -122,3 +122,78 @@ def test_bignum_cell_to_limbs_roundtrip():
 
     assert limbs_to_int_bn([c.value for c in limbs], chip.limb_width) == v
     mock_check(cs, table)
+
+
+def test_g2_chip_ops():
+    """G2EccChip add/double/scalar_mul vs host G2 arithmetic (circuit over
+    the bn254 BASE field, where G2 coordinates live)."""
+    from mira_tpu.curves.host import G2Point
+    from mira_tpu.gadgets.fp12_chip import G2EccChip
+
+    cs, config, table, ctx = fresh(17, 5, BN254_FQ)
+    chip = G2EccChip(config)
+    mg = chip.main_gate
+    rng = random.Random(5)
+    a = G2Point.random(rng)
+    b = G2Point.random(rng)
+
+    def to_host(ap):
+        from mira_tpu.curves.host import Fq2, G2Point as HG2
+        from mira_tpu.fields.host import field
+
+        F = field(BN254_FQ)
+        if all(c.value == 0 for c in (*ap.x, *ap.y)):
+            return HG2.identity()
+        return HG2(Fq2(F(ap.x[0].value), F(ap.x[1].value)),
+                   Fq2(F(ap.y[0].value), F(ap.y[1].value)))
+
+    pa = chip.assign_g2_point(ctx, a)
+    pb = chip.assign_g2_point(ctx, b)
+    pinf = chip.assign_g2_point(ctx, None)
+    assert to_host(chip.add_g2(ctx, pa, pb)) == a.add(b)
+    assert to_host(chip.add_g2(ctx, pa, pa)) == a.double()
+    assert to_host(chip.add_g2(ctx, pa, pinf)) == a
+    assert to_host(chip.double_g2(ctx, pa)) == a.double()
+    neg = chip.negate_g2(ctx, pa)
+    assert to_host(chip.add_g2(ctx, pa, neg)) == G2Point.identity()
+
+    k = 0xABCDEF0123
+    lam = mg.assign_value(ctx, k)
+    bits = mg.le_num_to_bits(ctx, lam, 255)
+    assert to_host(chip.scalar_mul(ctx, pa, bits)) == a.scalar_mul(k)
+    mock_check(cs, table)
+
+
+def test_fp12_chip_mul_scalar_mul():
+    """Fp12Chip in-circuit mul / scalar_mul vs host Tuple12 (the reference's
+    fp12 impl-equivalence test pattern)."""
+    from mira_tpu.curves.host import Tuple12
+    from mira_tpu.fields.host import field
+    from mira_tpu.gadgets.fp12_chip import Fp12Chip
+
+    F = field(BN254_FQ)
+    cs, config, table, ctx = fresh(17, 5, BN254_FQ)
+    chip = Fp12Chip(config)
+    mg = chip.main_gate
+    rng = random.Random(6)
+    g = Tuple12.generator(F)
+    a = g.scalar_mul(rng.randrange(1 << 64))
+    b = g.scalar_mul(rng.randrange(1 << 64))
+
+    def assign(t):
+        from mira_tpu.gadgets.fp12_chip import AssignedTuple12
+
+        return AssignedTuple12([mg.assign_value(ctx, e.v) for e in t.elements])
+
+    ca, cb = assign(a), assign(b)
+    got = chip.mul(ctx, ca, cb)
+    want = a.mul(b)
+    assert [c.value for c in got.elements] == [e.v for e in want.elements]
+
+    k = 0x1F2E3D
+    lam = mg.assign_value(ctx, k)
+    bits = mg.le_num_to_bits(ctx, lam, 24)
+    got2 = chip.scalar_mul(ctx, ca, bits)
+    want2 = a.scalar_mul(k)
+    assert [c.value for c in got2.elements] == [e.v for e in want2.elements]
+    mock_check(cs, table)

@@ -71,6 +71,12 @@ def main():
     from mira_tpu.curves.jax_curve import jacobian_ops
     from mira_tpu.ops.msm import encode_scalars, msm
 
+    if backend == "tpu":
+        # fused Pallas kernel: accumulators stay in VMEM across all 254 bits
+        from mira_tpu.ops.pallas_msm import msm_pallas as msm_fn
+    else:
+        msm_fn = msm
+
     ops = jacobian_ops("bn254")
     # distinct points (tiled but materialized -- a stride-0 broadcast of one
     # point lets XLA collapse the whole per-lane computation)
@@ -89,12 +95,19 @@ def main():
         BN254_G1.scalar_modulus,
     )
 
-    out = msm(scalars, pts, BN254_G1)  # compile + run
+    import numpy as np
+
+    out = msm_fn(scalars, pts, BN254_G1)  # compile + run
     jax.block_until_ready(out)
+    [np.asarray(c) for c in out]
+    # time with forced host materialization (block_until_ready alone has been
+    # observed returning early on some axon-tunnel dispatches)
+    reps = 2
     t0 = time.perf_counter()
-    out = msm(scalars2, pts, BN254_G1)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    for _ in range(reps):
+        out = msm_fn(scalars2, pts, BN254_G1)
+        [np.asarray(c) for c in out]
+    dt = (time.perf_counter() - t0) / reps
     value = n / dt
     print(
         json.dumps(

@@ -143,5 +143,19 @@ class CommitmentKey:
             scalars = jnp.concatenate([scalars, jnp.asarray(pad)], axis=0)
         ops = jacobian_ops(self.curve.name)
         pts = tuple(c[:n_pad] for c in self._enc)
-        out = msm(scalars, pts, self.curve)
+        backend = os.environ.get("MIRA_MSM", "auto")
+        use_pallas = backend == "pallas"
+        if backend == "auto":
+            import jax
+
+            # the fused Pallas kernel is ~4x the XLA lane method on TPU for
+            # large inputs; small MSMs stay on the lane method (one compile,
+            # trivial runtime)
+            use_pallas = jax.default_backend() == "tpu" and n_pad >= 4096
+        if use_pallas:
+            from .pallas_msm import msm_pallas
+
+            out = msm_pallas(scalars, pts, self.curve)
+        else:
+            out = msm(scalars, pts, self.curve)
         return ops.decode_points(tuple(c[None] for c in out))[0]

@@ -80,6 +80,44 @@ def _msm_jit(curve_name: str, num_bits: int):
     return jax.jit(run)
 
 
+@lru_cache(maxsize=None)
+def _reduce_jit(curve_name: str, log_n: int):
+    """Masked fixed-shape halving reduction of (N, 16) lane triples."""
+    ops = jacobian_ops(curve_name)
+
+    def run(X, Y, Z):
+        acc = (X, Y, Z)
+        n = 1 << log_n
+
+        def red(k, a):
+            half = jnp.left_shift(jnp.int32(1), log_n - 1 - k)
+            idx = jnp.arange(n, dtype=jnp.int32)
+            partner = tuple(c[jnp.minimum(idx + half, n - 1)] for c in a)
+            merged = ops.add(a, partner)
+            keep = idx < half
+            return ops.select(keep, merged, a)
+
+        acc = jax.lax.fori_loop(0, log_n, red, acc)
+        return tuple(c[0] for c in acc)
+
+    return jax.jit(run)
+
+
+def reduce_points(lanes, curve: CurveParams):
+    """Sum a (N, 16) Jacobian lane triple into one point (device)."""
+    ops = jacobian_ops(curve.name)
+    n = lanes[0].shape[0]
+    log_n = max((n - 1).bit_length(), 1)
+    pad = (1 << log_n) - n
+    if pad:
+        ident = ops.identity((pad,))
+        lanes = tuple(
+            jnp.concatenate([c, jnp.broadcast_to(ic, (pad, NUM_LIMBS))])
+            for c, ic in zip(lanes, ident)
+        )
+    return _reduce_jit(curve.name, log_n)(*lanes)
+
+
 def msm(scalars, points, curve: CurveParams):
     """Device MSM: scalars (N,16) plain limbs, points (X,Y,Z) Montgomery limb
     arrays; returns a Jacobian triple of (16,) arrays."""

@@ -1,0 +1,211 @@
+"""Pallas-kernel field/curve primitives in limbs-major (16, B) layout.
+
+These are pure jnp functions designed to run INSIDE Pallas kernels: the lane
+axis B is minor (maps onto the 128-wide vector lanes), limbs are rows, all
+control flow is static.  A Montgomery multiplication is ~300 tile ops on
+VMEM-resident data — fusing a whole Jacobian double-and-add step (or a full
+MSM) into one kernel turns the HBM-bound XLA graph into a compute-bound
+kernel (see ops/pallas_msm.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields.limbs import LIMB_BITS, MASK, NUM_LIMBS, int_to_limbs
+
+
+class TField:
+    """Field constants + ops for the transposed (16, B) layout."""
+
+    def __init__(self, modulus: int):
+        # constants kept as NUMPY so Pallas kernels see literals, not
+        # captured device arrays
+        self.modulus = modulus
+        # per-limb python ints: tiles are built inside kernels from scalar
+        # literals (Pallas rejects captured array constants)
+        self.p_limbs = [int(v) for v in int_to_limbs(modulus)]
+        self.n0inv = np.uint32((-pow(modulus, -1, 1 << LIMB_BITS)) & MASK)
+        r = 1 << (LIMB_BITS * NUM_LIMBS)
+        self.one_mont_limbs = [int(v) for v in int_to_limbs(r % modulus)]
+
+    def _tile(self, limbs, B):
+        return jnp.stack(
+            [jnp.full((B,), v, jnp.uint32) for v in limbs], axis=0
+        )
+
+    def p_tile(self, B):
+        return self._tile(self.p_limbs, B)
+
+    def one_tile(self, B):
+        return self._tile(self.one_mont_limbs, B)
+
+    # -- helpers -------------------------------------------------------------
+    def _normalize17(self, acc):
+        """(17, B) lazy columns -> rippled (17, B) with rows < 2^16."""
+        rows = [acc[i] for i in range(17)]
+        for i in range(16):
+            carry = rows[i] >> LIMB_BITS
+            rows[i] = rows[i] & MASK
+            rows[i + 1] = rows[i + 1] + carry
+        return jnp.stack(rows, axis=0)
+
+    def _geq(self, a, b):
+        """(16, B) >= (16, B) lexicographically -> (B,) uint32 0/1 flag.
+
+        Flags are uint32 throughout the kernel helpers: Mosaic's bool-vector
+        lowering (i8->i1 trunc) crashes on some shapes, and mask arithmetic
+        is cheaper anyway."""
+        res = jnp.ones(a.shape[1:], dtype=jnp.uint32)
+        for i in range(NUM_LIMBS):
+            res = jnp.where(a[i] > b[i], jnp.uint32(1),
+                            jnp.where(a[i] < b[i], jnp.uint32(0), res))
+        return res
+
+    def _sub16(self, a, b):
+        """(a - b) rows, assuming a >= b."""
+        rows = []
+        borrow = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
+        for i in range(a.shape[0]):
+            d = a[i] + (MASK + 1) - b[i] - borrow
+            rows.append(d & MASK)
+            borrow = 1 - (d >> LIMB_BITS)
+        return jnp.stack(rows, axis=0)
+
+    def _cond_sub_p(self, acc17):
+        B = acc17.shape[1]
+        p17 = jnp.concatenate(
+            [self.p_tile(B), jnp.zeros((1, B), jnp.uint32)], axis=0
+        )
+        for _ in range(2):
+            ge = self._geq(acc17, p17)
+            sub = self._sub16(acc17, p17)
+            m = (jnp.uint32(0) - ge)[None, :]
+            acc17 = (sub & m) | (acc17 & ~m)
+        return acc17[:NUM_LIMBS]
+
+    # -- ring ops ------------------------------------------------------------
+    def add(self, a, b):
+        acc = jnp.concatenate(
+            [a + b, jnp.zeros((1, a.shape[1]), jnp.uint32)], axis=0
+        )
+        return self._cond_sub_p(self._normalize17(acc))
+
+    def neg(self, a):
+        z = self.is_zero(a)
+        d = self._sub16(self.p_tile(a.shape[1]), a)
+        return self.select(z, a, d)
+
+    def sub(self, a, b):
+        return self.add(a, self.neg(b))
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def mul(self, a, b):
+        """CIOS Montgomery on (16, B) tiles; fully unrolled."""
+        B = a.shape[1]
+        acc = jnp.zeros((NUM_LIMBS + 1, B), jnp.uint32)
+        zero_row = jnp.zeros((1, B), jnp.uint32)
+        p = self.p_tile(B)
+        for i in range(NUM_LIMBS):
+            prod = a[i][None, :] * b  # (16, B)
+            acc = jnp.concatenate(
+                [acc[:NUM_LIMBS] + (prod & MASK), acc[NUM_LIMBS:]], axis=0
+            )
+            acc = jnp.concatenate(
+                [acc[:1], acc[1:] + (prod >> LIMB_BITS)], axis=0
+            )
+            m = (acc[0] * self.n0inv) & MASK
+            q = m[None, :] * p
+            acc = jnp.concatenate(
+                [acc[:NUM_LIMBS] + (q & MASK), acc[NUM_LIMBS:]], axis=0
+            )
+            acc = jnp.concatenate(
+                [acc[:1], acc[1:] + (q >> LIMB_BITS)], axis=0
+            )
+            carry = acc[0] >> LIMB_BITS
+            acc = jnp.concatenate([acc[1:], zero_row], axis=0)
+            acc = jnp.concatenate([acc[:1] + carry[None, :], acc[1:]], axis=0)
+        return self._cond_sub_p(self._normalize17(acc))
+
+    def square(self, a):
+        return self.mul(a, a)
+
+    def select(self, mask, a, b):
+        """mask: (B,) uint32 0/1 flag; a, b: (16, B)."""
+        m = (jnp.uint32(0) - mask)[None, :]
+        return (a & m) | (b & ~m)
+
+    def is_zero(self, a):
+        """(B,) uint32 flag: 1 where all limbs zero."""
+        nz = a[0]
+        for i in range(1, NUM_LIMBS):
+            nz = nz | a[i]
+        return jnp.where(nz == 0, jnp.uint32(1), jnp.uint32(0))
+
+    # -- jacobian curve ops (a = 0) -----------------------------------------
+    def jac_double(self, pt):
+        X, Y, Z = pt
+        A = self.square(X)
+        Bb = self.square(Y)
+        C = self.square(Bb)
+        t = self.square(self.add(X, Bb))
+        D = self.double(self.sub(self.sub(t, A), C))
+        E = self.add(self.double(A), A)
+        F = self.square(E)
+        X3 = self.sub(F, self.double(D))
+        Y3 = self.sub(
+            self.mul(E, self.sub(D, X3)),
+            self.double(self.double(self.double(C))),
+        )
+        Z3 = self.double(self.mul(Y, Z))
+        return (X3, Y3, Z3)
+
+    def jac_add(self, p, q):
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Z1Z1 = self.square(Z1)
+        Z2Z2 = self.square(Z2)
+        U1 = self.mul(X1, Z2Z2)
+        U2 = self.mul(X2, Z1Z1)
+        S1 = self.mul(self.mul(Y1, Z2), Z2Z2)
+        S2 = self.mul(self.mul(Y2, Z1), Z1Z1)
+        H = self.sub(U2, U1)
+        R = self.sub(S2, S1)
+        HH = self.square(H)
+        HHH = self.mul(H, HH)
+        V = self.mul(U1, HH)
+        X3 = self.sub(self.sub(self.square(R), HHH), self.double(V))
+        Y3 = self.sub(self.mul(R, self.sub(V, X3)), self.mul(S1, HHH))
+        Z3 = self.mul(self.mul(Z1, Z2), H)
+
+        p_inf = self.is_zero(Z1)
+        q_inf = self.is_zero(Z2)
+        h_zero = self.is_zero(H)
+        r_zero = self.is_zero(R)
+        not_inf = (1 - p_inf) * (1 - q_inf)
+        is_double = h_zero * r_zero * not_inf
+        is_opposite = h_zero * (1 - r_zero) * not_inf
+
+        dX, dY, dZ = self.jac_double(p)
+        B = X3.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = self.one_tile(B)
+
+        X3 = self.select(is_opposite, zero, self.select(is_double, dX, X3))
+        Y3 = self.select(is_opposite, one, self.select(is_double, dY, Y3))
+        Z3 = self.select(is_opposite, zero, self.select(is_double, dZ, Z3))
+        X3 = self.select(p_inf, X2, self.select(q_inf, X1, X3))
+        Y3 = self.select(p_inf, Y2, self.select(q_inf, Y1, Y3))
+        Z3 = self.select(p_inf, Z2, self.select(q_inf, Z1, Z3))
+        return (X3, Y3, Z3)
+
+
+@lru_cache(maxsize=None)
+def tfield(modulus: int) -> TField:
+    return TField(modulus)

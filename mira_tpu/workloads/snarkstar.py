@@ -56,8 +56,8 @@ def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
     sc2 = TrivialCircuit(arity=1)
 
     if use_mock_ck:
-        ck1 = MockCommitmentKey(BN254_G1, min(ckk1, 22), b"bn256")
-        ck2 = MockCommitmentKey(GRUMPKIN, min(ckk2, 22), b"grumpkin")
+        ck1 = MockCommitmentKey(BN254_G1, k1 + 4, b"bn256")
+        ck2 = MockCommitmentKey(GRUMPKIN, k2 + 4, b"grumpkin")
     else:
         ck1 = CommitmentKey.load_or_setup_cache(BN254_G1, ckk1, "bn256")
         ck2 = CommitmentKey.load_or_setup_cache(GRUMPKIN, ckk2, "grumpkin")

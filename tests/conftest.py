@@ -26,6 +26,10 @@ try:
     jax.config.update("jax_platforms", "cpu")
     xla_bridge._backend_factories.pop("axon", None)
     xla_bridge._backend_factories.pop("tpu", None)
+    # keep "tpu" a *known* platform name (checkify/pallas register tpu
+    # lowering rules at import and assert the name is known) without keeping
+    # the axon-backed factory that causes the device-transfer stall
+    xla_bridge._platform_aliases.setdefault("tpu", "tpu")
 
     # persistent compile cache: the big limb-arithmetic graphs (MSM bodies)
     # take minutes to compile on XLA:CPU; pay once per machine.

@@ -32,6 +32,18 @@ class MerkleTreeUpdateCircuit(StepCircuit):
         ]
         self.proof_batches.append(batch)
 
+    def update_leaves(self, updates):
+        """Apply up to batch_size (index, value) updates as one proof batch
+        (reference examples/zkml/circuit.rs:101-118); returns (old, new) roots."""
+        batch = [
+            self.tree.update_leaf(idx, val)
+            for idx, val in list(updates)[: self.batch_size]
+        ]
+        if not batch:
+            raise ValueError("No updates provided")
+        self.proof_batches.append(batch)
+        return batch[0].root().old, batch[-1].root().new
+
     def pop_front_proof_batch(self):
         if self.proof_batches:
             self.proof_batches.popleft()

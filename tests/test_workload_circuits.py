@@ -61,3 +61,31 @@ def test_merkle_step_circuit():
     z_out = sc.synthesize_step(config, ctx, z_in)
     assert [c.value for c in z_out] == sc.process_step([z0], 15, BN254_FR)
     mock_check(cs, table)
+
+
+def test_tensorstar_program_counter_updates():
+    from mira_tpu.workloads.tensorstar import program_counter_updates
+
+    # zkml/main.rs:104-122 indexing: batch 0, len-2 input vectors -> (2i+j, v)
+    ups = program_counter_updates(2, [1, 1], BN254_FR)
+    assert ups == [
+        [(0, 1), (1, 1)],
+        [(2, 1), (3, 1)],
+        [(4, 1), (5, 1)],
+    ]
+
+    # deterministic updates drive the same chip stack as the merkle circuit
+    sc = MerkleTreeUpdateCircuit(BN254_FR, batch_size=1)
+    for batch in ups:
+        old, new = sc.update_leaves(batch)
+        assert old != new  # leaf write changes the root
+    cs = ConstraintSystem()
+    config = sc.configure(cs)
+    table = TableData(15, cs, [], BN254_FR)
+    ctx = RegionCtx(table)
+    mg = MainGate(config)
+    z0 = sc.front_proof_batch()[0].root().old
+    z_in = [mg.assign_value(ctx, z0)]
+    z_out = sc.synthesize_step(config, ctx, z_in)
+    assert [c.value for c in z_out] == sc.process_step([z0], 15, BN254_FR)
+    mock_check(cs, table)

@@ -124,9 +124,13 @@ class CommitmentKey:
 
             on_accel = jax.default_backend() not in ("cpu",)
             if backend == "host" or (backend == "auto" and not on_accel and n > 4096):
+                vals = lf.decode(witness_mont)
+                from .native_msm import available, msm_native
+
+                if available():  # C++ Pippenger (native/msm.cpp), ~20x python
+                    return msm_native(vals, self.points[:n])
                 from ..curves.host import msm_host_pippenger
 
-                vals = lf.decode(witness_mont)
                 return msm_host_pippenger(vals, self.points[:n])
         return self._commit_plain_limbs(lf.to_plain(witness_mont))
 

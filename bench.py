@@ -43,6 +43,50 @@ def main():
     rng = random.Random(0)
     lf = limb_field(BN254_FR)
 
+    if which == "fold":
+        # per-fold hot path: witness RLC fold + row-parallel homogeneous gate
+        # evaluation (the reference's criterion fold_step benches measure the
+        # same inner work, benches/poseidon/main.rs:161-199)
+        import jax.numpy as jnp
+
+        from mira_tpu.workloads.demo import demo_structure
+
+        k = min(log_n, 17)
+        S, advice = demo_structure(k)
+        ev = S._evaluator("homogeneous")
+        nrow = 1 << k
+        w_vals = []
+        for col in advice:
+            w_vals.extend(col + [0] * (nrow - len(col)))
+        W0 = lf.encode(w_vals)
+        challenges = lf.encode([12345, 1])
+        r = lf.encode([991])
+
+        @jax.jit
+        def fold_eval(W0_, r_):
+            Wf = lf.add(W0_, lf.mul(r_, W0_))
+            return ev._run((Wf,), (), challenges)
+
+        jax.block_until_ready(fold_eval(W0, r))
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fold_eval(W0, r)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        value = nrow / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"fold_rows_per_sec@2^{k}/{backend}",
+                    "value": round(value, 1),
+                    "unit": "rows/s",
+                    "vs_baseline": round(value / 1e7, 4),
+                }
+            )
+        )
+        return
+
     if which == "ntt":
         from mira_tpu.ops.ntt import ntt
 

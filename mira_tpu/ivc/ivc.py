@@ -16,6 +16,7 @@ import dataclasses
 from typing import List, Optional
 
 from ..ops.poseidon import PoseidonHash
+from ..utils.tracing import instrument, span
 from ..nifs.vanilla import VanillaFS
 from ..plonk.structure import PlonkTrace, RelaxedPlonkTrace, SatError
 from ..table.mock import mock_check
@@ -170,6 +171,10 @@ class IVC:
 
     # ------------------------------------------------------------------
     def _synthesize(self, k, sfc, instance, curve):
+        with span("synthesize"):
+            return self._synthesize_inner(k, sfc, instance, curve)
+
+    def _synthesize_inner(self, k, sfc, instance, curve):
         runner = CircuitRunner(k, sfc, instance, curve)
         if self.debug_mode:
             cs, table = runner._synthesize()
@@ -177,6 +182,7 @@ class IVC:
         return runner.collect_witness()
 
     # ------------------------------------------------------------------
+    @instrument
     def fold_step(self):
         """One IVC step (reference ivc :385-562)."""
         pp = self.pp
@@ -271,6 +277,21 @@ class IVC:
         self.step += 1
 
     # ------------------------------------------------------------------
+    def save_checkpoint(self, path: str):
+        """Persist the full prover state (see ivc/checkpoint.py)."""
+        from .checkpoint import save
+
+        save(self, path)
+
+    def load_checkpoint(self, path: str) -> "IVC":
+        """Restore state saved by save_checkpoint into this IVC (must be
+        built with the same PublicParams/circuits)."""
+        from .checkpoint import load
+
+        return load(self, path)
+
+    # ------------------------------------------------------------------
+    @instrument
     def verify(self, strict: bool = True):
         """Final decider checks (reference ivc :565-687).
 

@@ -39,6 +39,7 @@ from ..plonk.structure import (
     RelaxedPlonkWitness,
     sps_verify,
 )
+from ..utils.tracing import instrument, span
 from ..polynomial.evaluator import ColumnEvaluator
 
 
@@ -72,6 +73,7 @@ class VanillaFS:
 
     # -- cross terms ---------------------------------------------------------
     @staticmethod
+    @instrument
     def commit_cross_terms(
         ck,
         S: PlonkStructure,
@@ -143,12 +145,14 @@ class VanillaFS:
         return VanillaFSProverParam(S, pp_digest), pp_digest
 
     @staticmethod
+    @instrument
     def generate_plonk_trace(
         ck, instance, witness, pp: VanillaFSProverParam, ro_nark, rng=None
     ) -> PlonkTrace:
         return pp.S.run_sps_protocol(ck, instance, witness, ro_nark, rng=rng)
 
     @staticmethod
+    @instrument
     def prove(
         ck,
         pp: VanillaFSProverParam,

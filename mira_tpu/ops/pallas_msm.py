@@ -25,6 +25,96 @@ from .pallas_field import tfield
 DEFAULT_BLOCK = 512
 
 
+WINDOW = 4  # divides LIMB_BITS: digits never straddle a limb
+
+
+@lru_cache(maxsize=None)
+def _msm_pallas_window_jit(modulus: int, num_bits: int, block: int,
+                           interpret: bool):
+    """Windowed double-and-add: per block, build the odd multiples table
+    [1P..15P] once in VMEM, then 64 windows of (4 doubles + 1 masked
+    table-add) — ~1.8x less field-mul work than the bit-serial kernel."""
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        memory_space = pltpu.VMEM
+    except Exception:  # pragma: no cover
+        memory_space = None
+
+    tf = tfield(modulus)
+    nwin = (num_bits + WINDOW - 1) // WINDOW
+    ndig = (1 << WINDOW) - 1
+
+    def kernel(sc_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
+        pt = (x_ref[...], y_ref[...], z_ref[...])
+        B = pt[0].shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = tf.one_tile(B)
+
+        # table[d] = (d+1) * P, d = 0..14
+        table = [pt]
+        for d in range(1, ndig):
+            table.append(
+                tf.jac_double(table[d // 2])
+                if d % 2 == 1
+                else tf.jac_add(table[d - 1], pt)
+            )
+
+        def body(i, acc):
+            w = nwin - 1 - i
+            bit = w * WINDOW
+            limb = sc_ref[pl.ds(bit // LIMB_BITS, 1), :][0]
+            digit = (limb >> (bit % LIMB_BITS).astype(jnp.uint32)) & ndig
+            for _ in range(WINDOW):
+                acc = tf.jac_double(acc)
+            # select table[digit-1] via masked accumulation
+            selX, selY, selZ = zero, one, zero
+            for d in range(ndig):
+                m = jnp.where(digit == d + 1, jnp.uint32(1), jnp.uint32(0))
+                selX = tf.select(m, table[d][0], selX)
+                selY = tf.select(m, table[d][1], selY)
+                selZ = tf.select(m, table[d][2], selZ)
+            added = tf.jac_add(acc, (selX, selY, selZ))
+            take = jnp.where(digit > 0, jnp.uint32(1), jnp.uint32(0))
+            return (
+                tf.select(take, added[0], acc[0]),
+                tf.select(take, added[1], acc[1]),
+                tf.select(take, added[2], acc[2]),
+            )
+
+        acc0 = (zero, one, zero)
+        accX, accY, accZ = jax.lax.fori_loop(0, nwin, body, acc0)
+        ox_ref[...] = accX
+        oy_ref[...] = accY
+        oz_ref[...] = accZ
+
+    def run(sc, X, Y, Z):
+        n = sc.shape[1]
+        grid = (n // block,)
+        spec = (
+            pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, i))
+            if memory_space is None
+            else pl.BlockSpec(
+                (NUM_LIMBS, block), lambda i: (0, i), memory_space=memory_space
+            )
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((NUM_LIMBS, n), jnp.uint32) for _ in range(3)
+        ]
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[spec] * 4,
+            out_specs=[spec] * 3,
+            interpret=interpret,
+        )(sc, X, Y, Z)
+
+    return jax.jit(run)
+
+
 @lru_cache(maxsize=None)
 def _msm_pallas_jit(modulus: int, num_bits: int, block: int, interpret: bool):
     from jax.experimental import pallas as pl
@@ -87,7 +177,8 @@ def _msm_pallas_jit(modulus: int, num_bits: int, block: int, interpret: bool):
     return jax.jit(run)
 
 
-def msm_pallas(scalars, points, curve: CurveParams, block: int = DEFAULT_BLOCK):
+def msm_pallas(scalars, points, curve: CurveParams, block: int = DEFAULT_BLOCK,
+               method: str = "window"):
     """scalars: (N, 16) plain limbs; points: (X, Y, Z) Montgomery (N, 16).
     Returns a Jacobian triple of (16,) arrays (the reduced sum)."""
     import jax
@@ -107,7 +198,10 @@ def msm_pallas(scalars, points, curve: CurveParams, block: int = DEFAULT_BLOCK):
 
     sc_t = scalars.T.copy()
     Xt, Yt, Zt = X.T.copy(), Y.T.copy(), Z.T.copy()
-    ox, oy, oz = _msm_pallas_jit(
+    jit_fn = (
+        _msm_pallas_window_jit if method == "window" else _msm_pallas_jit
+    )
+    ox, oy, oz = jit_fn(
         curve.base_modulus, num_bits, block, interpret
     )(sc_t, Xt, Yt, Zt)
     # back to lane-major; masked-halving reduction (small fixed graph)

@@ -179,3 +179,25 @@ def test_trivial_ivc_end_to_end():
     ivc.fold_step()
     ivc.verify(strict=True)
     assert ivc.step == 3
+
+
+def test_ivc_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint/load_checkpoint: a restored IVC continues folding and
+    verifies identically to the uninterrupted run (ivc/checkpoint.py)."""
+    pp = _trivial_pp()
+    ivc = IVC(pp, TrivialCircuit(arity=1), [11], TrivialCircuit(arity=1), [22])
+    path = str(tmp_path / "ivc_ckpt.npz")
+    ivc.save_checkpoint(path)
+
+    ivc2 = IVC(pp, TrivialCircuit(arity=1), [11], TrivialCircuit(arity=1), [22])
+    ivc2.load_checkpoint(path)
+    assert ivc2.step == ivc.step
+    U1 = ivc.secondary.relaxed_trace.U
+    U2 = ivc2.secondary.relaxed_trace.U
+    assert U1.instance == U2.instance
+    assert U1.W_commitments == U2.W_commitments
+    assert [c.v for c in U1.gt_element.elements] == [
+        c.v for c in U2.gt_element.elements
+    ]
+    assert ivc2.secondary_trace.u.instance == ivc.secondary_trace.u.instance
+    ivc2.verify(strict=False)

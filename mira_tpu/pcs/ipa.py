@@ -70,36 +70,51 @@ def ipa_commit(srs: IpaSrs, coeffs: List[int]) -> AffinePoint:
 
 
 def ipa_open(srs: IpaSrs, coeffs: List[int], z: int) -> tuple:
-    """Returns (y, IpaProof)."""
+    """Returns (y, IpaProof).
+
+    The folded generator vector is kept IMPLICIT: g^{(j)}_i =
+    sum_{m mod n_j == i} w_m G_m with per-original-index weights w_m updated
+    by u^{+-1} per round, so each round's L/R are single MSMs over the
+    ORIGINAL generators (native Pippenger) instead of n_j point scalar-muls."""
     r = srs.curve.scalar_modulus
-    n = 1 << max((len(coeffs) - 1).bit_length(), 0)
-    a = [c % r for c in coeffs] + [0] * (n - len(coeffs))
+    n0 = 1 << max((len(coeffs) - 1).bit_length(), 0)
+    a = [c % r for c in coeffs] + [0] * (n0 - len(coeffs))
     b, acc = [], 1
-    for _ in range(n):
+    for _ in range(n0):
         b.append(acc)
         acc = acc * z % r
-    g = list(srs.gens[:n])
     y = sum(ai * bi for ai, bi in zip(a, b)) % r
 
+    w = [1] * n0  # weight of G_m in its current folded slot
+    gens = srs.gens[:n0]
     ro = create_ro(srs.curve.base_modulus)
     ls, rs = [], []
+    n = n0
     while n > 1:
         h = n // 2
         a_lo, a_hi = a[:h], a[h:]
         b_lo, b_hi = b[:h], b[h:]
-        g_lo, g_hi = g[:h], g[h:]
         cl = sum(x * yv for x, yv in zip(a_lo, b_hi)) % r
         cr = sum(x * yv for x, yv in zip(a_hi, b_lo)) % r
-        L = _msm(a_lo, g_hi).add(srs.u.scalar_mul(cl))
-        R = _msm(a_hi, g_lo).add(srs.u.scalar_mul(cr))
+        # L = <a_lo, g_hi>: original index m contributes iff (m mod n) >= h
+        sc_l = [0] * n0
+        sc_r = [0] * n0
+        for m in range(n0):
+            i = m % n
+            if i >= h:
+                sc_l[m] = a_lo[i - h] * w[m] % r
+            else:
+                sc_r[m] = a_hi[i] * w[m] % r
+        L = _msm(sc_l, gens).add(srs.u.scalar_mul(cl))
+        R = _msm(sc_r, gens).add(srs.u.scalar_mul(cr))
         ls.append(L)
         rs.append(R)
         u = _transcript_challenge(ro, [L, R], r)
         uinv = pow(u, r - 2, r)
         a = [(lo * u + hi * uinv) % r for lo, hi in zip(a_lo, a_hi)]
         b = [(lo * uinv + hi * u) % r for lo, hi in zip(b_lo, b_hi)]
-        g = [gl.scalar_mul(uinv).add(gh.scalar_mul(u))
-             for gl, gh in zip(g_lo, g_hi)]
+        for m in range(n0):
+            w[m] = w[m] * (u if (m % n) >= h else uinv) % r
         n = h
     return y, IpaProof(ls, rs, a[0])
 

@@ -46,10 +46,15 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--limb-width", type=int, default=32)
     ap.add_argument("--limbs-count", type=int, default=10)
+    # per-side pairing-instance shape (reference cli.rs:45-71)
     ap.add_argument("--num-g1", type=int, default=0)
     ap.add_argument("--num-g2", type=int, default=0)
     ap.add_argument("--gt-degree", type=int, default=0)
     ap.add_argument("--gt-cross-terms", type=int, default=0)
+    ap.add_argument("--secondary-num-g1", type=int, default=0)
+    ap.add_argument("--secondary-num-g2", type=int, default=0)
+    ap.add_argument("--secondary-gt-degree", type=int, default=0)
+    ap.add_argument("--secondary-gt-cross-terms", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--real-ck", action="store_true",
                     help="use the real Pedersen key (device MSM) instead of "
@@ -81,7 +86,9 @@ def main(argv=None):
     pp = PublicParams(
         CircuitSide(sc1, ck1, args.k_table_size, args.num_g1, args.num_g2,
                     args.gt_degree, args.gt_cross_terms),
-        CircuitSide(sc2, ck2, args.k_table_size),
+        CircuitSide(sc2, ck2, args.k_table_size, args.secondary_num_g1,
+                    args.secondary_num_g2, args.secondary_gt_degree,
+                    args.secondary_gt_cross_terms),
         BN254_G1,
         GRUMPKIN,
         limb_width=args.limb_width,

@@ -65,7 +65,7 @@ def main():
         @jax.jit
         def fold_eval(W0_, r_):
             Wf = lf.add(W0_, lf.mul(r_, W0_))
-            return ev._run((Wf,), (), challenges)
+            return ev._run(ev.static_cols, (Wf,), (), challenges)
 
         jax.block_until_ready(fold_eval(W0, r))
         reps = 5

@@ -142,17 +142,19 @@ class ColumnEvaluator:
         self.nrow = nrow
         self.n_sel = len(selectors)
         self.n_fix = len(fixed)
-        # encode static columns once (Montgomery)
-        self.static_cols = [
+        # encode static columns once (Montgomery); passed as jit ARGUMENTS,
+        # not closed over — captured constants are embedded in the lowered
+        # program (gigabytes at k=22) and break the compile cache
+        self.static_cols = tuple(
             self.lf.encode([1 if b else 0 for b in col]) for col in selectors
-        ] + [self.lf.encode(col) for col in fixed]
+        ) + tuple(self.lf.encode(col) for col in fixed)
         self._jit = jax.jit(self._run)
 
-    def _resolve(self, q: Query, W1s, W2s, challenges):
+    def _resolve(self, q: Query, static_cols, W1s, W2s, challenges):
         lf = self.lf
         max_width = self.num_advice + 5 * self.num_lookup
         if q.index < self.n_sel + self.n_fix:
-            col = self.static_cols[q.index]
+            col = static_cols[q.index]
         else:
             idx = q.index - self.n_sel - self.n_fix
             if idx < max_width:
@@ -169,7 +171,7 @@ class ColumnEvaluator:
             col = jnp.roll(col, -rot, axis=0)
         return col
 
-    def _run(self, W1s, W2s, challenges):
+    def _run(self, static_cols, W1s, W2s, challenges):
         lf = self.lf
         shape = (self.nrow,)
 
@@ -178,7 +180,7 @@ class ColumnEvaluator:
 
         out = self.expr.evaluate(
             constant=const,
-            poly=lambda q: self._resolve(q, W1s, W2s, challenges),
+            poly=lambda q: self._resolve(q, static_cols, W1s, W2s, challenges),
             challenge=lambda i: jnp.broadcast_to(challenges[i], (self.nrow, 16)),
             negated=lf.neg,
             sum_=lf.add,
@@ -191,4 +193,4 @@ class ColumnEvaluator:
         """W1s/W2s: tuples of Montgomery limb arrays (round vectors);
         challenges: python ints.  Returns (nrow, 16) Montgomery limb array."""
         ch = self.lf.encode(list(challenges)) if challenges else self.lf.zero((0,))
-        return self._jit(tuple(W1s), tuple(W2s), ch)
+        return self._jit(self.static_cols, tuple(W1s), tuple(W2s), ch)

@@ -97,6 +97,47 @@ class TwoGateCircuit:
                 t.assign_advice(c, row, (av + bv) % p)
 
 
+class FiboCircuit:
+    """Fibonacci chain with NEXT-rotation queries: q * (a + a.next - b) = 0
+    and b[i] copied to a[i+1] (the reference's `fibo_circuit` fixture,
+    nifs/tests.rs:92+) -- exercises non-zero rotations through SPS + fold."""
+
+    def __init__(self, seed=0):
+        self.seed = seed
+
+    @staticmethod
+    def configure(cs):
+        q = cs.fixed_column()
+        a = cs.advice_column()
+        b = cs.advice_column()
+        cs.enable_equality(a)
+        cs.enable_equality(b)
+        qe = cs.query(q)
+        ae = cs.query(a)
+        an = cs.query(a, 1)  # Rotation::next()
+        be = cs.query(b)
+        cs.create_gate("fibo", [qe * (ae + an - be)])
+        return (q, a, b)
+
+    def synthesize(self, config, ctx):
+        q, a, b = config
+        t = ctx.table
+        p = t.modulus
+        rng = random.Random(self.seed)
+        f0, f1 = rng.randrange(p), rng.randrange(p)
+        pending = []  # b[i] == a[i+2]: copy two rows later
+        for row in range(10):
+            t.assign_fixed(q, row, 1)
+            ac = t.assign_advice(a, row, f0)
+            bc = t.assign_advice(b, row, (f0 + f1) % p)
+            if len(pending) == 2:
+                t.copy(pending.pop(0).cell, ac.cell)
+            pending.append(bc)
+            f0, f1 = f1, (f0 + f1) % p
+        # next rotation of the final gate row reads row 10's a: assign it
+        t.assign_advice(a, 10, f0)
+
+
 def setup(circuit_cls, seed=0):
     runner = CircuitRunner(K, circuit_cls(seed), [], BN254_G1)
     S = runner.collect_structure()
@@ -109,7 +150,7 @@ def ro():
     return create_ro(BN254_FQ)
 
 
-@pytest.mark.parametrize("circuit_cls", [MulCircuit, TwoGateCircuit])
+@pytest.mark.parametrize("circuit_cls", [MulCircuit, TwoGateCircuit, FiboCircuit])
 def test_sps_and_is_sat(circuit_cls):
     S, advice, ck = setup(circuit_cls)
     trace = S.run_sps_protocol(ck, [], advice, ro())
@@ -117,13 +158,13 @@ def test_sps_and_is_sat(circuit_cls):
 
     # tampered witness must fail
     bad = [list(col) for col in advice]
-    bad[2][0] = (bad[2][0] + 1) % S.modulus
+    bad[-1][0] = (bad[-1][0] + 1) % S.modulus
     bad_trace = S.run_sps_protocol(ck, [], bad, ro())
     with pytest.raises(SatError):
         S.is_sat(ck, ro(), bad_trace.u, bad_trace.w)
 
 
-@pytest.mark.parametrize("circuit_cls", [MulCircuit, TwoGateCircuit])
+@pytest.mark.parametrize("circuit_cls", [MulCircuit, TwoGateCircuit, FiboCircuit])
 def test_fold_two_steps(circuit_cls):
     S, advice1, ck = setup(circuit_cls, seed=1)
     runner2 = CircuitRunner(K, circuit_cls(2), [], BN254_G1)

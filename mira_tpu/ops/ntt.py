@@ -60,27 +60,27 @@ def _twiddle_table(modulus: int, log_n: int, inverse: bool):
 
 @lru_cache(maxsize=None)
 def _ntt_jit(modulus: int, log_n: int, inverse: bool):
-    """One jitted program per size: a fori_loop whose body is a single
-    uniform-shape butterfly pass (indices from bit arithmetic on iota), so
-    the compiled graph size is independent of log_n."""
+    """One jitted program per size.  Stages are RESHAPE butterflies — a
+    (n/2h, 2, h) view with a strided-slice twiddle row — rather than iota
+    gathers: XLA:TPU lowers reshapes/strided slices to cheap relayouts while
+    per-element gathers serialize (measured ~19x on one v5e at 2^20).  The
+    graph is log_n unrolled stages; each is one fused CIOS mul + adds."""
     lf = limb_field(modulus)
     n = 1 << log_n
     tw_table, perm = _twiddle_table(modulus, log_n, inverse)
-    iota = jnp.arange(n, dtype=jnp.int32)
-
-    def stage(s, a):
-        half = jnp.left_shift(jnp.int32(1), s)
-        low_mask = half - 1
-        lo = a[iota & ~half]  # pair's low element
-        hi = a[iota | half]  # pair's high element
-        tw_idx = (iota & low_mask) << (log_n - 1 - s)
-        prod = lf.mul(hi, tw_table[tw_idx])
-        is_high = (iota & half) > 0
-        return lf.add(lo, lf.select(is_high, lf.neg(prod), prod))
 
     def run(a):
         a = a[perm]
-        a = jax.lax.fori_loop(0, log_n, stage, a)
+        for s in range(log_n):
+            half = 1 << s
+            step = n // (2 * half)
+            x = a.reshape(n // (2 * half), 2, half, NUM_LIMBS)
+            u, v = x[:, 0], x[:, 1]
+            tw = jax.lax.slice_in_dim(tw_table, 0, n // 2, stride=step)
+            prod = lf.mul(v, tw[None])
+            a = jnp.concatenate(
+                [lf.add(u, prod), lf.add(u, lf.neg(prod))], axis=1
+            ).reshape(n, NUM_LIMBS)
         if inverse:
             divisor = pow(n, -1, modulus)
             a = lf.mul(a, lf.const(divisor, (1,)))

@@ -81,24 +81,16 @@ def _msm_jit(curve_name: str, num_bits: int):
 
 
 @lru_cache(maxsize=None)
-def _reduce_jit(curve_name: str, log_n: int):
-    """Masked fixed-shape halving reduction of (N, 16) lane triples."""
+def _reduce_level_jit(curve_name: str, half: int):
+    """One halving level: add lanes [0,half) to lanes [half,2*half) by static
+    slicing (gathers serialize on TPU; slices are free relayouts).  Compiled
+    once per (curve, half); a full reduction chains log2(n) of these."""
     ops = jacobian_ops(curve_name)
 
     def run(X, Y, Z):
-        acc = (X, Y, Z)
-        n = 1 << log_n
-
-        def red(k, a):
-            half = jnp.left_shift(jnp.int32(1), log_n - 1 - k)
-            idx = jnp.arange(n, dtype=jnp.int32)
-            partner = tuple(c[jnp.minimum(idx + half, n - 1)] for c in a)
-            merged = ops.add(a, partner)
-            keep = idx < half
-            return ops.select(keep, merged, a)
-
-        acc = jax.lax.fori_loop(0, log_n, red, acc)
-        return tuple(c[0] for c in acc)
+        a = (X[:half], Y[:half], Z[:half])
+        b = (X[half:], Y[half:], Z[half:])
+        return ops.add(a, b)
 
     return jax.jit(run)
 
@@ -115,7 +107,11 @@ def reduce_points(lanes, curve: CurveParams):
             jnp.concatenate([c, jnp.broadcast_to(ic, (pad, NUM_LIMBS))])
             for c, ic in zip(lanes, ident)
         )
-    return _reduce_jit(curve.name, log_n)(*lanes)
+    half = (1 << log_n) // 2
+    while half >= 1:
+        lanes = _reduce_level_jit(curve.name, half)(*lanes)
+        half //= 2
+    return tuple(c[0] for c in lanes)
 
 
 def msm(scalars, points, curve: CurveParams):

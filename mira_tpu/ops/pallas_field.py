@@ -19,13 +19,28 @@ import numpy as np
 from ..fields.limbs import LIMB_BITS, MASK, NUM_LIMBS, int_to_limbs
 
 
+def _roll_rows(x, shift: int, interpret: bool):
+    """Circular shift along the sublane (row) axis.
+
+    Compiled Mosaic gets the native sublane rotate (pltpu.roll); interpret
+    mode (CPU tests) falls back to jnp.roll which Mosaic cannot lower."""
+    if interpret:
+        return jnp.roll(x, shift, axis=0)
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, shift=shift % x.shape[0], axis=0)
+
+
 class TField:
     """Field constants + ops for the transposed (16, B) layout."""
 
-    def __init__(self, modulus: int):
+    def __init__(self, modulus: int, interpret: bool = False,
+                 mul_impl: str = "roll"):
         # constants kept as NUMPY so Pallas kernels see literals, not
         # captured device arrays
         self.modulus = modulus
+        self.interpret = interpret
+        self.mul_impl = mul_impl
         # per-limb python ints: tiles are built inside kernels from scalar
         # literals (Pallas rejects captured array constants)
         self.p_limbs = [int(v) for v in int_to_limbs(modulus)]
@@ -81,11 +96,12 @@ class TField:
         p17 = jnp.concatenate(
             [self.p_tile(B), jnp.zeros((1, B), jnp.uint32)], axis=0
         )
-        for _ in range(2):
-            ge = self._geq(acc17, p17)
-            sub = self._sub16(acc17, p17)
-            m = (jnp.uint32(0) - ge)[None, :]
-            acc17 = (sub & m) | (acc17 & ~m)
+        # One round suffices: every caller maintains inputs < p, so sums are
+        # < 2p and Montgomery outputs T = (ab + mp)/R < p^2/R + p < 2p.
+        ge = self._geq(acc17, p17)
+        sub = self._sub16(acc17, p17)
+        m = (jnp.uint32(0) - ge)[None, :]
+        acc17 = (sub & m) | (acc17 & ~m)
         return acc17[:NUM_LIMBS]
 
     # -- ring ops ------------------------------------------------------------
@@ -108,6 +124,41 @@ class TField:
 
     def mul(self, a, b):
         """CIOS Montgomery on (16, B) tiles; fully unrolled."""
+        if self.mul_impl == "roll":
+            return self._mul_roll(a, b)
+        return self._mul_concat(a, b)
+
+    def _mul_roll(self, a, b):
+        """Copy-free CIOS: the accumulator stays a fixed (16, B) tile; the
+        per-iteration limb shift is a sublane rotate (pltpu.roll) plus two
+        row-masked fixups instead of five (17, B) concatenate copies.
+
+        Row bounds: each row gains < 2^18 per iteration and lives <= 16
+        shifts, so rows stay < 2^23 — comfortably inside uint32."""
+        B = a.shape[1]
+        acc = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        p = self.p_tile(B)
+        row = jax.lax.broadcasted_iota(jnp.uint32, (NUM_LIMBS, B), 0)
+        not_row0 = jnp.where(row != 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        for i in range(NUM_LIMBS):
+            prod = a[i][None, :] * b
+            acc = acc + (prod & MASK)
+            m = (acc[0] * self.n0inv) & MASK
+            qp = m[None, :] * p
+            acc = acc + (qp & MASK)
+            hpq = (prod >> LIMB_BITS) + (qp >> LIMB_BITS)
+            hi = hpq[NUM_LIMBS - 1]
+            acc = acc + (_roll_rows(hpq, 1, self.interpret) & not_row0)
+            carry = acc[0] >> LIMB_BITS
+            acc = _roll_rows(acc, -1, self.interpret)
+            acc = jnp.where(row == NUM_LIMBS - 1, hi[None, :], acc)
+            acc = acc + jnp.where(row == 0, carry[None, :], jnp.uint32(0))
+        acc17 = jnp.concatenate(
+            [acc, jnp.zeros((1, B), jnp.uint32)], axis=0
+        )
+        return self._cond_sub_p(self._normalize17(acc17))
+
+    def _mul_concat(self, a, b):
         B = a.shape[1]
         acc = jnp.zeros((NUM_LIMBS + 1, B), jnp.uint32)
         zero_row = jnp.zeros((1, B), jnp.uint32)
@@ -207,5 +258,6 @@ class TField:
 
 
 @lru_cache(maxsize=None)
-def tfield(modulus: int) -> TField:
-    return TField(modulus)
+def tfield(modulus: int, interpret: bool = False,
+           mul_impl: str = "roll") -> TField:
+    return TField(modulus, interpret, mul_impl)

@@ -43,7 +43,7 @@ def _msm_pallas_window_jit(modulus: int, num_bits: int, block: int,
     except Exception:  # pragma: no cover
         memory_space = None
 
-    tf = tfield(modulus)
+    tf = tfield(modulus, interpret)
     nwin = (num_bits + WINDOW - 1) // WINDOW
     ndig = (1 << WINDOW) - 1
 
@@ -116,6 +116,158 @@ def _msm_pallas_window_jit(modulus: int, num_bits: int, block: int,
 
 
 @lru_cache(maxsize=None)
+def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
+                              interpret: bool):
+    """Shared-Horner Pippenger: 64 per-window Jacobian accumulators live in
+    VMEM scratch across the whole grid.  Each block of B lanes builds its
+    [1P..15P] table once, then does ONE masked table-select + ONE width-wide
+    jac_add per window — the 4-per-window doubles of the windowed kernel are
+    hoisted out of the per-lane path entirely and run once, at the end, in
+    the Horner combine (255 point-ops total for the whole MSM).
+
+    Per-lane work drops from ~256 doubles + 64 adds to ~14 (table) + 64 adds
+    => ~2.5x fewer element-ops than the windowed kernel.
+
+    Replaces the reference's CPU Pippenger `best_multiexp`
+    (/root/reference/src/commitment.rs:78-87) with a scatter-free,
+    SIMD-complete bucket scheme: window digits select from a per-lane table
+    (masks, not data-dependent gathers), and bucket accumulation is a
+    width-wide add into per-window accumulators."""
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        memory_space = pltpu.VMEM
+    except Exception:  # pragma: no cover
+        pltpu = None
+        memory_space = None
+
+    tf = tfield(modulus, interpret)
+    nwin = (num_bits + WINDOW - 1) // WINDOW
+    ndig = (1 << WINDOW) - 1
+
+    def _lane_roll(x, s):
+        if interpret:
+            return jnp.roll(x, -s, axis=1)
+        return pltpu.roll(x, shift=(-s) % x.shape[1], axis=1)
+
+    def kernel(sc_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref,
+               accX, accY, accZ):
+        step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        B = x_ref.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = tf.one_tile(B)
+
+        @pl.when(step == 0)
+        def _init():
+            accX[...] = jnp.zeros((nwin, NUM_LIMBS, B), jnp.uint32)
+            accY[...] = jnp.broadcast_to(one[None], (nwin, NUM_LIMBS, B))
+            accZ[...] = jnp.zeros((nwin, NUM_LIMBS, B), jnp.uint32)
+
+        pt = (x_ref[...], y_ref[...], z_ref[...])
+        table = [pt]
+        for d in range(1, ndig):
+            table.append(
+                tf.jac_double(table[d // 2])
+                if d % 2 == 1
+                else tf.jac_add(table[d - 1], pt)
+            )
+
+        def wbody(w, carry):
+            bit = w * WINDOW
+            limb = sc_ref[pl.ds(bit // LIMB_BITS, 1), :][0]
+            digit = (limb >> (bit % LIMB_BITS).astype(jnp.uint32)) & ndig
+            selX, selY, selZ = zero, one, zero
+            for d in range(ndig):
+                m = jnp.where(digit == d + 1, jnp.uint32(1), jnp.uint32(0))
+                selX = tf.select(m, table[d][0], selX)
+                selY = tf.select(m, table[d][1], selY)
+                selZ = tf.select(m, table[d][2], selZ)
+            acc = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
+                   accZ[pl.ds(w, 1)][0])
+            nX, nY, nZ = tf.jac_add(acc, (selX, selY, selZ))
+            accX[pl.ds(w, 1)] = nX[None]
+            accY[pl.ds(w, 1)] = nY[None]
+            accZ[pl.ds(w, 1)] = nZ[None]
+            return carry
+
+        jax.lax.fori_loop(0, nwin, wbody, 0)
+
+        @pl.when(step == nsteps - 1)
+        def _final():
+            # 1) recursive-doubling lane reduction: every lane of window w
+            #    ends up holding the full cross-lane sum W_w
+            def rbody(w, carry):
+                acc = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
+                       accZ[pl.ds(w, 1)][0])
+                s = B // 2
+                while s >= 1:
+                    rolled = tuple(_lane_roll(c, s) for c in acc)
+                    acc = tf.jac_add(acc, rolled)
+                    s //= 2
+                accX[pl.ds(w, 1)] = acc[0][None]
+                accY[pl.ds(w, 1)] = acc[1][None]
+                accZ[pl.ds(w, 1)] = acc[2][None]
+                return carry
+
+            jax.lax.fori_loop(0, nwin, rbody, 0)
+
+            # 2) Horner over windows: S = sum_w 16^w W_w
+            S0 = (accX[pl.ds(nwin - 1, 1)][0], accY[pl.ds(nwin - 1, 1)][0],
+                  accZ[pl.ds(nwin - 1, 1)][0])
+
+            def hbody(i, S):
+                w = nwin - 2 - i
+                for _ in range(WINDOW):
+                    S = tf.jac_double(S)
+                Ww = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
+                      accZ[pl.ds(w, 1)][0])
+                return tf.jac_add(S, Ww)
+
+            S = jax.lax.fori_loop(0, nwin - 1, hbody, S0)
+            ox_ref[...] = S[0]
+            oy_ref[...] = S[1]
+            oz_ref[...] = S[2]
+
+    def run(sc, X, Y, Z):
+        n = sc.shape[1]
+        grid = (n // block,)
+        in_spec = (
+            pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, i))
+            if memory_space is None
+            else pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, i),
+                              memory_space=memory_space)
+        )
+        out_spec = (
+            pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, 0))
+            if memory_space is None
+            else pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, 0),
+                              memory_space=memory_space)
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((NUM_LIMBS, block), jnp.uint32)
+            for _ in range(3)
+        ]
+        scratch = [
+            pltpu.VMEM((nwin, NUM_LIMBS, block), jnp.uint32)
+            for _ in range(3)
+        ]
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[in_spec] * 4,
+            out_specs=[out_spec] * 3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(sc, X, Y, Z)
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
 def _msm_pallas_jit(modulus: int, num_bits: int, block: int, interpret: bool):
     from jax.experimental import pallas as pl
 
@@ -126,7 +278,7 @@ def _msm_pallas_jit(modulus: int, num_bits: int, block: int, interpret: bool):
     except Exception:  # pragma: no cover
         memory_space = None
 
-    tf = tfield(modulus)
+    tf = tfield(modulus, interpret)
 
     def kernel(sc_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref):
         pt = (x_ref[...], y_ref[...], z_ref[...])
@@ -198,6 +350,12 @@ def msm_pallas(scalars, points, curve: CurveParams, block: int = DEFAULT_BLOCK,
 
     sc_t = scalars.T.copy()
     Xt, Yt, Zt = X.T.copy(), Y.T.copy(), Z.T.copy()
+    if method == "pippenger":
+        ox, oy, oz = _msm_pallas_pippenger_jit(
+            curve.base_modulus, num_bits, block, interpret
+        )(sc_t, Xt, Yt, Zt)
+        # the kernel finishes the reduction; every lane holds the result
+        return (ox[:, 0], oy[:, 0], oz[:, 0])
     jit_fn = (
         _msm_pallas_window_jit if method == "window" else _msm_pallas_jit
     )

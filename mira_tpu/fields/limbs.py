@@ -38,7 +38,7 @@ def int_to_limbs(v: int) -> np.ndarray:
 def ints_to_limbs(vals) -> np.ndarray:
     """Python ints -> (n, 16) uint32 limb array (via fast byte packing)."""
     buf = b"".join(
-        (v if isinstance(v, int) else v.v).to_bytes(32, "little") for v in vals
+        [(v if isinstance(v, int) else v.v).to_bytes(32, "little") for v in vals]
     )
     u16 = np.frombuffer(buf, dtype="<u2").reshape(len(vals), NUM_LIMBS)
     return u16.astype(np.uint32)
@@ -125,17 +125,30 @@ class LimbField:
 
     # -- host <-> device boundaries ----------------------------------------
     def encode(self, vals) -> jnp.ndarray:
-        """Python ints / host field elements -> Montgomery limb array."""
+        """Python ints / host field elements -> Montgomery limb array.
+
+        The to-Montgomery multiply runs on device (one fused CIOS by R^2)
+        instead of one Python bigint mul+mod per value — the host loop was
+        ~80s/fold on SnarkStar witness vectors."""
+        m = self.modulus
         vals = [v if isinstance(v, int) else v.v for v in vals]
-        r = 1 << (LIMB_BITS * NUM_LIMBS)
-        return jnp.asarray(
-            ints_to_limbs([(v * r) % self.modulus for v in vals]), dtype=jnp.uint32
+        raw = jnp.asarray(
+            ints_to_limbs([v if 0 <= v < m else v % m for v in vals]),
+            dtype=jnp.uint32,
         )
+        if raw.shape[0] == 0:
+            return raw
+        return self.mul(raw, jnp.asarray(self.r2_np, dtype=jnp.uint32)[None])
 
     def decode(self, arr) -> list:
-        """Montgomery limb array -> Python ints (canonical)."""
-        rinv = pow(1 << (LIMB_BITS * NUM_LIMBS), -1, self.modulus)
-        return [(v * rinv) % self.modulus for v in limbs_to_ints(np.asarray(arr))]
+        """Montgomery limb array -> Python ints (canonical).
+
+        From-Montgomery = one device CIOS by plain 1 (vR * 1 * R^-1 = v)."""
+        arr = jnp.asarray(arr).reshape(-1, NUM_LIMBS)
+        if arr.shape[0] == 0:
+            return []
+        raw = self.mul(arr, jnp.asarray(self.one_plain_np, dtype=jnp.uint32)[None])
+        return limbs_to_ints(np.asarray(raw))
 
     # -- constants on device -------------------------------------------------
     def zero(self, shape=()) -> jnp.ndarray:

@@ -62,6 +62,39 @@ def _inv_vandermonde(p: int, d: int) -> Tuple[Tuple[int, ...], ...]:
     return tuple(tuple(row[n:]) for row in aug)
 
 
+@lru_cache(maxsize=None)
+def _combine_slices_jit(p: int, d: int):
+    """One fused program for the inverse-Vandermonde combination
+    T_k = sum_j invV[k][j] * Q_j (eagerly this was d*(d+1) separate
+    full-column CIOS passes)."""
+    import jax
+
+    lf = limb_field(p)
+    invV = _inv_vandermonde(p, d)
+
+    def run(evals):
+        outs = []
+        for k in range(1, d + 1):
+            acc = None
+            for j in range(d + 1):
+                c = invV[k][j]
+                if not c:
+                    continue
+                t = lf.mul(lf.const(c, (1,)), evals[j])
+                acc = t if acc is None else lf.add(acc, t)
+            if acc is None:
+                acc = jnp_zeros_like(evals[0])
+            outs.append(acc)
+        return tuple(outs)
+
+    def jnp_zeros_like(x):
+        import jax.numpy as jnp
+
+        return jnp.zeros_like(x)
+
+    return jax.jit(run)
+
+
 @dataclasses.dataclass
 class VanillaFSProverParam:
     S: PlonkStructure
@@ -96,19 +129,11 @@ class VanillaFS:
         evals = []  # Q_j = P(W1 + j*W2, ch1 + j*ch2) per row
         for j in range(d + 1):
             jm = lf.const(j, (1,))
-            Wj = [lf.add(w1, lf.mul(jm, w2)) for w1, w2 in zip(W1.W, W2.W)]
             chj = [(a + j * b) % p for a, b in zip(ch1, ch2)]
-            evals.append(ev(Wj, (), chj))
+            chj_enc = lf.encode(chj) if chj else lf.zero((0,))
+            evals.append(ev.fold_eval(W1.W, W2.W, jm, chj_enc))
 
-        invV = _inv_vandermonde(p, d)
-        cross_terms = []
-        for k in range(1, d + 1):
-            acc = lf.zero((1 << S.k,))
-            for j in range(d + 1):
-                c = invV[k][j]
-                if c:
-                    acc = lf.add(acc, lf.mul(lf.const(c, (1,)), evals[j]))
-            cross_terms.append(acc)
+        cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         g1_commits = [ck.commit_device(t) for t in cross_terms]
         # Gt cross terms: random placeholders, mirroring the reference

@@ -1,12 +1,14 @@
 """Pedersen vector commitment key (reference /root/reference/src/commitment.rs).
 
-Generator derivation follows the reference's structure: a Shake256 XOF seeded
-with the label emits 32 uniform bytes per generator, which are mapped to a
-curve point.  PARITY NOTE: the reference maps via halo2curves'
-`hash_to_curve("from_uniform_bytes")` (an SVDW map); we use a deterministic
-SHA3-based try-and-increment map.  Keys are internally consistent (prover and
-verifier share them) but not byte-identical to halo2curves-derived keys; this
-is a recorded parity gap, not a protocol divergence.
+Generator derivation follows the reference exactly in structure: a Shake256
+XOF seeded with the label emits 32 uniform bytes per generator
+(commitment.rs:58-66), each mapped through the RFC 9380 SVDW random-oracle
+construction that halo2curves exposes as
+`hash_to_curve("from_uniform_bytes")` (commitment.rs:67) — see
+curves/svdw.py.  expand_message_xmd matches the RFC test vectors; the DST
+string follows halo2curves' naming convention (reconstructed without source
+access — the only remaining byte-parity caveat).  Set MIRA_HTC=xof to fall
+back to the round-1 SHA3 try-and-increment map (old cached keys).
 
 Commitments run through the device MSM; keys are cached on disk as .npy
 (the reference caches raw-memory dumps, commitment.rs:96-167).
@@ -29,7 +31,16 @@ from .msm import encode_scalars, msm
 
 
 def map_to_curve(curve: CurveParams, uniform_bytes: bytes) -> AffinePoint:
-    """Deterministic hash-to-curve: SHA3 try-and-increment, even root."""
+    """32 uniform bytes -> point, dispatching on MIRA_HTC (svdw default)."""
+    if os.environ.get("MIRA_HTC", "svdw") == "svdw":
+        from ..curves.svdw import hash_to_curve
+
+        return hash_to_curve(curve, "from_uniform_bytes")(uniform_bytes)
+    return _map_to_curve_xof(curve, uniform_bytes)
+
+
+def _map_to_curve_xof(curve: CurveParams, uniform_bytes: bytes) -> AffinePoint:
+    """Round-1 fallback: SHA3 try-and-increment, even root."""
     F = field(curve.base_modulus)
     x0 = int.from_bytes(
         hashlib.sha3_256(b"mira-tpu-htc" + uniform_bytes).digest(), "little"
@@ -70,7 +81,9 @@ class CommitmentKey:
     def load_or_setup_cache(
         cls, curve: CurveParams, k: int, label: str, cache_dir: str = ".cache/ck"
     ) -> "CommitmentKey":
-        path = os.path.join(cache_dir, curve.name, label, f"{k}.npy")
+        htc = os.environ.get("MIRA_HTC", "svdw")
+        path = os.path.join(cache_dir, curve.name, label, f"{k}-{htc}.npy"
+                            if htc != "xof" else f"{k}.npy")
         if os.path.exists(path):
             arr = np.load(path)  # (n, 2) object? store as limb uint32 (n,2,16)
             F = field(curve.base_modulus)
@@ -155,7 +168,7 @@ class CommitmentKey:
             # the fused Pallas kernel is ~4x the XLA lane method on TPU for
             # large inputs; small MSMs stay on the lane method (one compile,
             # trivial runtime)
-            use_pallas = jax.default_backend() == "tpu" and n_pad >= 4096
+            use_pallas = jax.default_backend() not in ("cpu",) and n_pad >= 4096
         if use_pallas:
             from .pallas_msm import msm_pallas
 

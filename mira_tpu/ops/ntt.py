@@ -89,17 +89,104 @@ def _ntt_jit(modulus: int, log_n: int, inverse: bool):
     return jax.jit(run)
 
 
+@lru_cache(maxsize=None)
+def _butterfly_pallas(modulus: int, block: int, interpret: bool):
+    """Fused butterfly stage: (u, v, tw) -> (u + tw*v, u - tw*v) in one
+    Pallas kernel on limbs-major (16, n/2) arrays.  The XLA version runs the
+    same math as dozens of separate HBM passes; fusing the CIOS mul and the
+    add/sub into one VMEM-resident kernel makes each stage one read + one
+    write of the data."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pallas_field import tfield
+
+    tf = tfield(modulus, interpret)
+
+    def kernel(u_ref, v_ref, t_ref, a_ref, b_ref):
+        u, v, tw = u_ref[...], v_ref[...], t_ref[...]
+        prod = tf.mul(v, tw)
+        a_ref[...] = tf.add(u, prod)
+        b_ref[...] = tf.sub(u, prod)
+
+    def run(u, v, tw):
+        m = u.shape[1]
+        grid = (m // block,)
+        spec = pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+        out_shape = [
+            jax.ShapeDtypeStruct((NUM_LIMBS, m), jnp.uint32) for _ in range(2)
+        ]
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[spec] * 3,
+            out_specs=[spec] * 2,
+            interpret=interpret,
+        )(u, v, tw)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _ntt_pallas_jit(modulus: int, log_n: int, inverse: bool, block: int,
+                    interpret: bool):
+    """Pallas-stage NTT: pairing stays XLA reshapes (cheap relayouts), the
+    per-stage field math is one fused kernel (see _butterfly_pallas)."""
+    lf = limb_field(modulus)
+    n = 1 << log_n
+    tw_table, perm = _twiddle_table(modulus, log_n, inverse)
+    tw_t = tw_table.T  # (16, n/2) limbs-major
+    stage = _butterfly_pallas(modulus, block, interpret)
+
+    def run(a):
+        a = a[perm].T  # (16, n) limbs-major
+        for s in range(log_n):
+            half = 1 << s
+            step = n // (2 * half)
+            x = a.reshape(NUM_LIMBS, n // (2 * half), 2, half)
+            u = x[:, :, 0, :].reshape(NUM_LIMBS, n // 2)
+            v = x[:, :, 1, :].reshape(NUM_LIMBS, n // 2)
+            tw = jax.lax.slice_in_dim(tw_t, 0, n // 2, stride=step, axis=1)
+            tw = jnp.broadcast_to(
+                tw[:, None, :], (NUM_LIMBS, n // (2 * half), half)
+            ).reshape(NUM_LIMBS, n // 2)
+            ap, bp = stage(u, v, tw)
+            a = jnp.stack([ap.reshape(NUM_LIMBS, n // (2 * half), half),
+                           bp.reshape(NUM_LIMBS, n // (2 * half), half)],
+                          axis=2).reshape(NUM_LIMBS, n)
+        a = a.T
+        if inverse:
+            divisor = pow(n, -1, modulus)
+            a = lf.mul(a, lf.const(divisor, (1,)))
+        return a
+
+    return jax.jit(run)
+
+
 def ntt(a, modulus: int, inverse: bool = False):
     """Forward/inverse NTT of a (n, NUM_LIMBS) Montgomery limb array.
 
     Output is in standard order; inverse includes the 1/n divisor
-    (reference fft.rs:160-174).
+    (reference fft.rs:160-174).  Backend: fused Pallas stage kernels on
+    accelerators (MIRA_NTT=pallas|xla overrides), XLA reshape stages on CPU.
     """
+    import os
+
     n = a.shape[0]
     log_n = n.bit_length() - 1
     assert 1 << log_n == n
     if log_n == 0:
         return a
+    backend = os.environ.get("MIRA_NTT", "auto")
+    use_pallas = backend == "pallas"
+    if backend == "auto":
+        use_pallas = jax.default_backend() not in ("cpu",) and n >= 4096
+    if use_pallas:
+        interpret = jax.default_backend() == "cpu"
+        block = min(512, n // 2)
+        return _ntt_pallas_jit(modulus, log_n, inverse, block, interpret)(a)
     return _ntt_jit(modulus, log_n, inverse)(a)
 
 

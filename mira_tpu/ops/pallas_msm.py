@@ -153,7 +153,7 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
         return pltpu.roll(x, shift=(-s) % x.shape[1], axis=1)
 
     def kernel(sc_ref, x_ref, y_ref, z_ref, ox_ref, oy_ref, oz_ref,
-               accX, accY, accZ):
+               accX, accY, accZ, tabX, tabY, tabZ):
         step = pl.program_id(0)
         nsteps = pl.num_programs(0)
         B = x_ref.shape[1]
@@ -167,13 +167,23 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
             accZ[...] = jnp.zeros((nwin, NUM_LIMBS, B), jnp.uint32)
 
         pt = (x_ref[...], y_ref[...], z_ref[...])
-        table = [pt]
-        for d in range(1, ndig):
-            table.append(
-                tf.jac_double(table[d // 2])
-                if d % 2 == 1
-                else tf.jac_add(table[d - 1], pt)
-            )
+        # table[d] = (d+1)P via a chain of adds in scratch: the fori body is
+        # one jac_add, keeping the Mosaic program small (unrolling 14 point
+        # ops pushed compile time past 10 min)
+        tabX[pl.ds(0, 1)] = pt[0][None]
+        tabY[pl.ds(0, 1)] = pt[1][None]
+        tabZ[pl.ds(0, 1)] = pt[2][None]
+
+        def tbody(d, carry):
+            prev = (tabX[pl.ds(d - 1, 1)][0], tabY[pl.ds(d - 1, 1)][0],
+                    tabZ[pl.ds(d - 1, 1)][0])
+            nX, nY, nZ = tf.jac_add(prev, pt)
+            tabX[pl.ds(d, 1)] = nX[None]
+            tabY[pl.ds(d, 1)] = nY[None]
+            tabZ[pl.ds(d, 1)] = nZ[None]
+            return carry
+
+        jax.lax.fori_loop(1, ndig, tbody, 0)
 
         def wbody(w, carry):
             bit = w * WINDOW
@@ -182,9 +192,9 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
             selX, selY, selZ = zero, one, zero
             for d in range(ndig):
                 m = jnp.where(digit == d + 1, jnp.uint32(1), jnp.uint32(0))
-                selX = tf.select(m, table[d][0], selX)
-                selY = tf.select(m, table[d][1], selY)
-                selZ = tf.select(m, table[d][2], selZ)
+                selX = tf.select(m, tabX[d], selX)
+                selY = tf.select(m, tabY[d], selY)
+                selZ = tf.select(m, tabZ[d], selZ)
             acc = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
                    accZ[pl.ds(w, 1)][0])
             nX, nY, nZ = tf.jac_add(acc, (selX, selY, selZ))
@@ -252,6 +262,9 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
         ]
         scratch = [
             pltpu.VMEM((nwin, NUM_LIMBS, block), jnp.uint32)
+            for _ in range(3)
+        ] + [
+            pltpu.VMEM((ndig, NUM_LIMBS, block), jnp.uint32)
             for _ in range(3)
         ]
         return pl.pallas_call(
@@ -329,11 +342,14 @@ def _msm_pallas_jit(modulus: int, num_bits: int, block: int, interpret: bool):
     return jax.jit(run)
 
 
-def msm_pallas(scalars, points, curve: CurveParams, block: int = DEFAULT_BLOCK,
-               method: str = "window"):
+def msm_pallas(scalars, points, curve: CurveParams, block: int | None = None,
+               method: str = "pippenger"):
     """scalars: (N, 16) plain limbs; points: (X, Y, Z) Montgomery (N, 16).
     Returns a Jacobian triple of (16,) arrays (the reduced sum)."""
     import jax
+
+    if block is None:
+        block = 256 if method == "pippenger" else DEFAULT_BLOCK
 
     interpret = jax.default_backend() == "cpu"
     num_bits = curve.scalar_modulus.bit_length()

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import random
+from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -598,6 +599,21 @@ class PlonkWitness:
         return [self.lf.decode(w) for w in self.W]
 
 
+@lru_cache(maxsize=None)
+def _witness_fold_jit(p: int, n_rounds: int, n_terms: int):
+    import jax
+
+    lf = limb_field(p)
+
+    def run(W1, W2, E, Ts, r_m, rp):
+        W = tuple(lf.add(a, lf.mul(r_m, b)) for a, b in zip(W1, W2))
+        for k, t in enumerate(Ts):
+            E = lf.add(E, lf.mul(rp[k][None], t))
+        return W, E
+
+    return jax.jit(run)
+
+
 class RelaxedPlonkWitness:
     def __init__(self, lf, W, E):
         self.lf = lf
@@ -609,16 +625,21 @@ class RelaxedPlonkWitness:
         return cls(lf, [lf.zero((sz,)) for sz in round_sizes], lf.zero((1 << k,)))
 
     def fold(self, W2: PlonkWitness, cross_terms: List, r: int) -> "RelaxedPlonkWitness":
-        """W' = W1 + r*W2; E' = E + sum_k r^k T_k (reference plonk/mod.rs:1097)."""
+        """W' = W1 + r*W2; E' = E + sum_k r^k T_k (reference plonk/mod.rs:1097),
+        as ONE fused program per shape instead of ~16 separate RLC passes."""
         lf = self.lf
-        r_m = lf.const(r % lf.modulus, (1,))
-        W = [lf.add(w1, lf.mul(r_m, w2)) for w1, w2 in zip(self.W, W2.W)]
-        E = self.E
-        rpow = r % lf.modulus
-        for tk in cross_terms:
-            E = lf.add(E, lf.mul(lf.const(rpow, (1,)), tk))
-            rpow = (rpow * r) % lf.modulus
-        return RelaxedPlonkWitness(lf, W, E)
+        p = lf.modulus
+        r_m = lf.const(r % p, (1,))
+        rpows = []
+        rpow = r % p
+        for _ in cross_terms:
+            rpows.append(rpow)
+            rpow = (rpow * r) % p
+        rp = lf.encode(rpows) if rpows else lf.zero((0,))
+        W_out, E = _witness_fold_jit(p, len(self.W), len(cross_terms))(
+            tuple(self.W), tuple(W2.W), self.E, tuple(cross_terms), r_m, rp
+        )
+        return RelaxedPlonkWitness(lf, list(W_out), E)
 
 
 @dataclasses.dataclass

@@ -194,3 +194,25 @@ class ColumnEvaluator:
         challenges: python ints.  Returns (nrow, 16) Montgomery limb array."""
         ch = self.lf.encode(list(challenges)) if challenges else self.lf.zero((0,))
         return self._jit(self.static_cols, tuple(W1s), tuple(W2s), ch)
+
+    def fold_eval(self, W1s: Sequence, W2s: Sequence, j_mont, challenges_enc):
+        """P(W1 + j*W2) with the witness RLC fused INTO the evaluator program.
+
+        One jitted program serves every fold point j (j enters as a traced
+        (1,16) Montgomery scalar): without this, the cross-term loop
+        (nifs/vanilla.py) dispatched each CIOS step of the RLC as a separate
+        eager XLA op over the full concatenated round vectors — ~97% of a
+        SnarkStar fold step at k=19."""
+        if not hasattr(self, "_fold_jit"):
+            lf = self.lf
+
+            def run(static_cols, W1r, W2r, jm, ch):
+                Wj = tuple(
+                    lf.add(a, lf.mul(jm, b)) for a, b in zip(W1r, W2r)
+                )
+                return self._run(static_cols, Wj, (), ch)
+
+            self._fold_jit = jax.jit(run)
+        return self._fold_jit(
+            self.static_cols, tuple(W1s), tuple(W2s), j_mont, challenges_enc
+        )

@@ -79,3 +79,22 @@ def test_fft_evaluates_polynomial():
         x = pow(w, i, BN254_FR)
         want = sum(c * pow(x, j, BN254_FR) for j, c in enumerate(coeffs)) % BN254_FR
         assert out[i] == want
+
+
+def test_pallas_ntt_matches_xla(monkeypatch):
+    """The fused Pallas stage kernel (interpret mode on CPU) must be
+    bit-identical to the XLA reshape-stage path, fwd and inverse."""
+    rng = random.Random(5)
+    n = 2048
+    vals = [rng.randrange(BN254_FR) for _ in range(n)]
+    enc = LF.encode(vals)
+    import numpy as np
+
+    monkeypatch.setenv("MIRA_NTT", "xla")
+    want_f = np.asarray(ntt(enc, BN254_FR))
+    want_i = np.asarray(ntt(enc, BN254_FR, inverse=True))
+    monkeypatch.setenv("MIRA_NTT", "pallas")  # interpret mode on CPU
+    got_f = np.asarray(ntt(enc, BN254_FR))
+    got_i = np.asarray(ntt(enc, BN254_FR, inverse=True))
+    assert (want_f == got_f).all()
+    assert (want_i == got_i).all()

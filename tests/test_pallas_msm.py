@@ -22,8 +22,9 @@ from mira_tpu.ops.pallas_msm import msm_pallas
     reason="~7min in CPU interpret mode; set MIRA_RUN_SLOW=1 "
     "(verified green in round 1; runs compiled on TPU)",
 )
+@pytest.mark.parametrize("method", ["window", "pippenger"])
 @pytest.mark.parametrize("curve", [BN254_G1, GRUMPKIN], ids=["bn254", "grumpkin"])
-def test_msm_pallas_matches_host(curve):
+def test_msm_pallas_matches_host(curve, method):
     rng = random.Random(7)
     n = 8
     pts = [AffinePoint.random(curve, rng) for _ in range(n)]
@@ -34,7 +35,7 @@ def test_msm_pallas_matches_host(curve):
     ops = jacobian_ops(curve.name)
     sc = encode_scalars(svals, curve.scalar_modulus)
     enc = ops.encode_points(pts)
-    out = msm_pallas(sc, enc, curve, block=8)
+    out = msm_pallas(sc, enc, curve, block=8, method=method)
     got = ops.decode_points(tuple(c[None] for c in out))[0]
     want = msm_host(svals, pts)
     assert got == want

@@ -71,6 +71,10 @@ class CircuitSide:
     num_g2: int = 0
     gt_degree: int = 0
     gt_cross_terms: int = 0
+    # real-proof mode: a snark.groth16.Groth16FoldContext supplying actual
+    # proof elements + real Gt cross terms (reference uses random
+    # placeholders throughout)
+    groth16_ctx: Optional[object] = None
 
 
 class PublicParams:
@@ -130,6 +134,8 @@ class PublicParams:
             params=primary_params,
             curve=primary_curve,
         )
+        if primary.groth16_ctx is not None:
+            self.primary.S.groth16_ctx = primary.groth16_ctx
 
         # --- secondary structure + initial plonk trace
         secondary_default_inputs = StepInputs.without_witness(
@@ -168,6 +174,10 @@ class PublicParams:
             secondary.gt_cross_terms,
         )
         secondary_S = secondary_runner.collect_structure()
+        if secondary.groth16_ctx is not None:
+            # attach BEFORE the initial trace below: the zero-step SPS must
+            # already draw real proof elements
+            secondary_S.groth16_ctx = secondary.groth16_ctx
         self.secondary = CircuitPublicParams(
             S=secondary_S,
             ck=secondary.ck,

@@ -136,12 +136,17 @@ class VanillaFS:
         cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         g1_commits = [ck.commit_device(t) for t in cross_terms]
-        # Gt cross terms: random placeholders, mirroring the reference
-        Fb = field(S.curve.base_modulus)
-        gt_commits = [
-            Tuple12.generator(Fb).scalar_mul(rng.randrange(p))
-            for _ in range(S.target_group_cross_terms)
-        ]
+        ctx = getattr(S, "groth16_ctx", None)
+        if ctx is not None:
+            # real bilinear pairing cross terms (snark/groth16.py) — the
+            # reference emits random Tuple12s here (vanilla/mod.rs:130-134)
+            gt_commits = ctx.gt_cross_terms(U1, U2)
+        else:
+            Fb = field(S.curve.base_modulus)
+            gt_commits = [
+                Tuple12.generator(Fb).scalar_mul(rng.randrange(p))
+                for _ in range(S.target_group_cross_terms)
+            ]
         return cross_terms, (g1_commits, gt_commits)
 
     # -- challenge -----------------------------------------------------------

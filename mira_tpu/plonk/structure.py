@@ -194,6 +194,9 @@ class PlonkStructure:
                 raise SatError(f"W commitment mismatch at round {i}")
         if ck.commit_device(W.E) != U.E_commitment:
             raise SatError("E commitment mismatch")
+        ctx = getattr(self, "groth16_ctx", None)
+        if ctx is not None:
+            ctx.gt_is_sat(U)  # real-pairing Gt decider (beyond the reference)
 
     def is_sat_perm(self, U: "RelaxedPlonkInstance", W: "RelaxedPlonkWitness"):
         """P*Z = Z with Z = instance || advice part of W[0]
@@ -264,6 +267,12 @@ class PlonkStructure:
         return out
 
     def _random_group_elements(self, rng):
+        # real-proof mode: pull actual Groth16 elements [A,C,vk_x]/[B] from
+        # the attached context (snark/groth16.py) instead of the reference's
+        # random placeholders (plonk/mod.rs:690-703 "TODO(jbeal)")
+        ctx = getattr(self, "groth16_ctx", None)
+        if ctx is not None:
+            return ctx.provide_elements()
         Fb = field(self.curve.base_modulus)
         g1 = [AffinePoint.random(self.curve, rng) for _ in range(self.num_g1_elems)]
         g2 = [G2Point.random(rng, Fb) for _ in range(self.num_g2_elems)]

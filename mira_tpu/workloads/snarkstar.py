@@ -36,7 +36,8 @@ def ck_sizes(batch_size: int):
 
 
 def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
-        k_override: int | None = None, debug_mode: bool = False):
+        k_override: int | None = None, debug_mode: bool = False,
+        real_proofs: bool = False, num_constraints: int = 1000):
     from ..curves.host import BN254_G1, GRUMPKIN
     from ..ivc.ivc import IVC
     from ..ivc.public_params import CircuitSide, PublicParams
@@ -62,15 +63,38 @@ def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
         ck1 = CommitmentKey.load_or_setup_cache(BN254_G1, ckk1, "bn256")
         ck2 = CommitmentKey.load_or_setup_cache(GRUMPKIN, ckk2, "grumpkin")
 
+    ctx = None
+    if real_proofs:
+        # REAL mode (beyond the reference, which discards its arkworks
+        # proofs and folds random elements): generate Groth16 proofs on our
+        # own stack and fold them with true pairing cross terms.
+        from ..snark.groth16 import (
+            Groth16FoldContext, benchmark_r1cs, prove, setup, verify,
+        )
+
+        t0 = time.time()
+        r1cs, z = benchmark_r1cs(num_constraints)
+        pk = setup(r1cs, rng)
+        pub = z[1:r1cs.num_public + 1]
+        proofs = []
+        for _ in range((steps + 1) * batch_size):
+            pf = prove(pk, r1cs, z, rng)
+            proofs.append((pf, list(pub)))
+        assert verify(pk.vk, proofs[0][0], pub)
+        ctx = Groth16FoldContext(pk.vk, batch_size)
+        ctx.push_proofs(proofs)
+        print(f"groth16 setup+{len(proofs)} proofs: {time.time() - t0:.1f}s")
+
     t0 = time.time()
     pp = PublicParams(
         CircuitSide(sc1, ck1, k1),
         CircuitSide(
             sc2, ck2, k2,
-            num_g1=2 * batch_size,
-            num_g2=1 * batch_size,
+            num_g1=ctx.num_g1 if ctx else 2 * batch_size,
+            num_g2=ctx.num_g2 if ctx else 1 * batch_size,
             gt_degree=2,
-            gt_cross_terms=2 * batch_size,
+            gt_cross_terms=ctx.num_gt_cross_terms if ctx else 2 * batch_size,
+            groth16_ctx=ctx,
         ),
         BN254_G1,
         GRUMPKIN,
@@ -87,7 +111,8 @@ def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
         ivc.fold_step()
         print(f"fold step {step + 1}: {time.time() - t0:.1f}s")
     ivc.verify(strict=True)
-    print(f"SnarkStar: {steps} steps x batch {batch_size} verified OK")
+    mode = "REAL Groth16 proofs + true Gt cross terms" if real_proofs else "structural"
+    print(f"SnarkStar: {steps} steps x batch {batch_size} verified OK ({mode})")
 
 
 if __name__ == "__main__":
@@ -99,5 +124,9 @@ if __name__ == "__main__":
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--real-ck", action="store_true")
     ap.add_argument("--debug-mode", action="store_true")
+    ap.add_argument("--real-proofs", action="store_true",
+                    help="fold actual Groth16 proofs with real Gt cross terms")
+    ap.add_argument("--num-constraints", type=int, default=1000)
     args = ap.parse_args()
-    run(args.steps, args.batch_size, not args.real_ck, args.k, args.debug_mode)
+    run(args.steps, args.batch_size, not args.real_ck, args.k, args.debug_mode,
+        args.real_proofs, args.num_constraints)

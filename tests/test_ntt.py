@@ -84,6 +84,11 @@ def test_fft_evaluates_polynomial():
 def test_pallas_ntt_matches_xla(monkeypatch):
     """The fused Pallas stage kernel (interpret mode on CPU) must be
     bit-identical to the XLA reshape-stage path, fwd and inverse."""
+    import jax
+
+    # serializing the interpret-mode pallas executable into the persistent
+    # compilation cache segfaults XLA:CPU (reproducible); skip caching here
+    jax.config.update("jax_enable_compilation_cache", False)
     rng = random.Random(5)
     n = 2048
     vals = [rng.randrange(BN254_FR) for _ in range(n)]
@@ -96,5 +101,6 @@ def test_pallas_ntt_matches_xla(monkeypatch):
     monkeypatch.setenv("MIRA_NTT", "pallas")  # interpret mode on CPU
     got_f = np.asarray(ntt(enc, BN254_FR))
     got_i = np.asarray(ntt(enc, BN254_FR, inverse=True))
+    jax.config.update("jax_enable_compilation_cache", True)
     assert (want_f == got_f).all()
     assert (want_i == got_i).all()

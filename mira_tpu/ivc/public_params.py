@@ -86,6 +86,8 @@ class PublicParams:
         secondary_curve: CurveParams,
         limb_width: int = DEFAULT_LIMB_WIDTH,
         limbs_count: int = DEFAULT_LIMBS_COUNT,
+        r_f: int = RO_R_F,
+        r_p: int = RO_R_P,
     ):
         # primary circuit lives over primary_curve's SCALAR field
         self.primary_curve = primary_curve
@@ -94,10 +96,10 @@ class PublicParams:
         self.limbs_count = limbs_count
 
         primary_spec = get_spec(
-            primary_curve.scalar_modulus, RO_T, RO_RATE, RO_R_F, RO_R_P
+            primary_curve.scalar_modulus, RO_T, RO_RATE, r_f, r_p
         )
         secondary_spec = get_spec(
-            secondary_curve.scalar_modulus, RO_T, RO_RATE, RO_R_F, RO_R_P
+            secondary_curve.scalar_modulus, RO_T, RO_RATE, r_f, r_p
         )
         primary_params = StepParams(limb_width, limbs_count, primary_spec)
         secondary_params = StepParams(limb_width, limbs_count, secondary_spec)

@@ -137,3 +137,53 @@ def report(min_runtime: float = 0.0) -> str:
     for r in _state.roots:
         walk(r, 0)
     return "\n".join(lines)
+
+
+def aggregate(min_runtime: float = 0.0) -> str:
+    """Per-span-name aggregation (count, total busy, total wall) — the
+    analog of the reference's .scripts/analyze_profiling.py, which sums
+    busy time per span name across the tree."""
+    stats = {}
+
+    def walk(s: _Span):
+        if s.total >= min_runtime:
+            c, b, t = stats.get(s.name, (0, 0.0, 0.0))
+            stats[s.name] = (c + 1, b + s.busy, t + s.total)
+        for ch in s.children:
+            walk(ch)
+
+    for r in _state.roots:
+        walk(r)
+    lines = [
+        f"{name}: n={c} busy {b:.3f}s total {t:.3f}s"
+        for name, (c, b, t) in sorted(
+            stats.items(), key=lambda kv: -kv[1][1]
+        )
+    ]
+    return "\n".join(lines)
+
+
+def memory_report() -> str:
+    """Host peak RSS + per-device memory stats — the analog of the
+    reference's dhat heap profiling feature (examples/groth16/main.rs:1-3,
+    Cargo.toml dhat-heap), TPU-shaped: device HBM stats come from the PJRT
+    allocator."""
+    import resource
+
+    peak_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    lines = [f"host peak RSS: {peak_kb / 1048576:.2f} GB"]
+    try:
+        import jax
+
+        for d in jax.local_devices():
+            stats = d.memory_stats() or {}
+            used = stats.get("bytes_in_use", 0)
+            peak = stats.get("peak_bytes_in_use", 0)
+            limit = stats.get("bytes_limit", 0)
+            lines.append(
+                f"{d.platform}:{d.id} in_use {used / 1048576:.1f} MB "
+                f"peak {peak / 1048576:.1f} MB limit {limit / 1048576:.1f} MB"
+            )
+    except Exception:  # pragma: no cover
+        pass
+    return "\n".join(lines)

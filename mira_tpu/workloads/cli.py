@@ -46,6 +46,9 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--limb-width", type=int, default=32)
     ap.add_argument("--limbs-count", type=int, default=10)
+    # Poseidon RO rounds (reference cli.rs primary_r_f/r_p flags)
+    ap.add_argument("--r-f", type=int, default=10)
+    ap.add_argument("--r-p", type=int, default=10)
     # per-side pairing-instance shape (reference cli.rs:45-71)
     ap.add_argument("--num-g1", type=int, default=0)
     ap.add_argument("--num-g2", type=int, default=0)
@@ -93,6 +96,8 @@ def main(argv=None):
         GRUMPKIN,
         limb_width=args.limb_width,
         limbs_count=args.limbs_count,
+        r_f=args.r_f,
+        r_p=args.r_p,
     )
     print(f"public params: {time.time() - t0:.1f}s")
 

@@ -10,8 +10,12 @@ slice per row (vanilla/mod.rs:101-120).  We instead evaluate the *compact*
 homogeneous polynomial at d+1 fold points r = 0..d on RLC-folded
 witnesses/challenges and interpolate the slice values with a precomputed
 inverse-Vandermonde — exact over the field, ~an order of magnitude less work,
-and the compiled graph stays small.  tests/test_nifs.py cross-checks this
-numeric path against the symbolic GroupedPoly slices on small circuits.
+and the compiled graph stays small.  On satisfied traces (the IVC steady
+state) two of those evaluations come for free — Q(0) equals the stored error
+vector E (is_sat_relaxed invariant) and the leading coefficient vanishes
+(is_sat invariant) — so only the d-1 interior points are evaluated
+(`assume_sat=True`).  tests/test_nifs.py cross-checks this numeric path
+against the symbolic GroupedPoly slices on small circuits.
 
 Gt cross terms: the reference emits *random* placeholder Tuple12s
 ("TODO(jbeal): Generate the correct target group cross terms",
@@ -60,6 +64,58 @@ def _inv_vandermonde(p: int, d: int) -> Tuple[Tuple[int, ...], ...]:
                 f = aug[r][col]
                 aug[r] = [(x - f * y) % p for x, y in zip(aug[r], aug[col])]
     return tuple(tuple(row[n:]) for row in aug)
+
+
+@lru_cache(maxsize=None)
+def _inv_vandermonde_inner(p: int, d: int) -> Tuple[Tuple[int, ...], ...]:
+    """Inverse of M[i][j] = (i+1)^(j+1) mod p, (d-1)x(d-1) — the interior
+    Vandermonde system once the j=0 row (T_0 = E) and the degree-d column
+    (T_d = 0) are eliminated by the satisfaction invariants."""
+    n = d - 1
+    M = [[pow(i + 1, j + 1, p) for j in range(n)] for i in range(n)]
+    aug = [row[:] + [1 if i == j else 0 for j in range(n)]
+           for i, row in enumerate(M)]
+    for col in range(n):
+        piv = next(r for r in range(col, n) if aug[r][col] % p != 0)
+        aug[col], aug[piv] = aug[piv], aug[col]
+        inv = pow(aug[col][col], -1, p)
+        aug[col] = [(x * inv) % p for x in aug[col]]
+        for r in range(n):
+            if r != col and aug[r][col] % p != 0:
+                f = aug[r][col]
+                aug[r] = [(x - f * y) % p for x, y in zip(aug[r], aug[col])]
+    return tuple(tuple(row[n:]) for row in aug)
+
+
+@lru_cache(maxsize=None)
+def _combine_slices_sat_jit(p: int, d: int):
+    """Interior combination T_k = sum_j invM[k][j] * (Q_j - E), k = 1..d-1,
+    plus an explicit zero T_d.  Valid when both traces satisfy their
+    relations: Q(0) = P(W1,ch1,u1) = E row-wise (is_sat_relaxed invariant)
+    and the leading coefficient P(W2,ch2,1) = 0 (is_sat invariant) — two of
+    the d+1 full-table evaluations come for free."""
+    import jax
+    import jax.numpy as jnp
+
+    lf = limb_field(p)
+    invM = _inv_vandermonde_inner(p, d)
+
+    def run(evals, E):
+        diffs = [lf.sub(e, E) for e in evals]
+        outs = []
+        for k in range(d - 1):
+            acc = None
+            for j in range(d - 1):
+                c = invM[k][j]
+                if not c:
+                    continue
+                t = lf.mul(lf.const(c, (1,)), diffs[j])
+                acc = t if acc is None else lf.add(acc, t)
+            outs.append(acc if acc is not None else jnp.zeros_like(E))
+        outs.append(jnp.zeros_like(E))  # T_d = 0 on satisfied traces
+        return tuple(outs)
+
+    return jax.jit(run)
 
 
 @lru_cache(maxsize=None)
@@ -115,6 +171,7 @@ class VanillaFS:
         U2: PlonkInstance,
         W2: PlonkWitness,
         rng=None,
+        assume_sat: bool = True,
     ):
         rng = rng or random.Random(0xC405)
         p = S.modulus
@@ -126,14 +183,22 @@ class VanillaFS:
 
         ev = S._evaluator("homogeneous")
 
-        evals = []  # Q_j = P(W1 + j*W2, ch1 + j*ch2) per row
-        for j in range(d + 1):
+        def eval_at(j):
             jm = lf.const(j, (1,))
             chj = [(a + j * b) % p for a, b in zip(ch1, ch2)]
             chj_enc = lf.encode(chj) if chj else lf.zero((0,))
-            evals.append(ev.fold_eval(W1.W, W2.W, jm, chj_enc))
+            return ev.fold_eval(W1.W, W2.W, jm, chj_enc)
 
-        cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
+        if assume_sat and d >= 1:
+            # Q(0) = E and leading coeff = 0 by the two satisfaction
+            # invariants: only the d-1 interior evaluations are computed.
+            evals = [eval_at(j) for j in range(1, d)]
+            cross_terms = list(
+                _combine_slices_sat_jit(p, d)(tuple(evals), W1.E)
+            )
+        else:
+            evals = [eval_at(j) for j in range(d + 1)]
+            cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         g1_commits = [ck.commit_device(t) for t in cross_terms]
         ctx = getattr(S, "groth16_ctx", None)

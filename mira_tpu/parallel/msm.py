@@ -2,8 +2,9 @@
 MSMs combined with an all-gather + local Jacobian tree reduction.
 
 This is the distribution layer BASELINE.json mandates (bucket partitioning
-across chips, sums reduced over ICI); the per-shard kernel is the lane-parallel
-double-and-add from ops/msm.
+across chips, sums reduced over ICI); the per-shard kernel defaults to the
+shared-Horner Pippenger Pallas kernel (ops/pallas_msm), with the lane-parallel
+double-and-add from ops/msm as a fallback.
 """
 
 from __future__ import annotations
@@ -55,8 +56,14 @@ def _lane_msm(ops, scalars, pts, num_bits):
 
 
 @lru_cache(maxsize=None)
-def _sharded_msm_jit(curve_name: str, num_bits: int, mesh: Mesh):
+def _sharded_msm_jit(curve_name: str, num_bits: int, mesh: Mesh,
+                     method: str, block: int):
     ops = jacobian_ops(curve_name)
+    if method == "pippenger":
+        from ..curves.host import BN254_G1, GRUMPKIN
+        from ..ops.pallas_msm import msm_pallas
+
+        curve = BN254_G1 if curve_name == "bn254" else GRUMPKIN
 
     @partial(
         shard_map,
@@ -66,7 +73,15 @@ def _sharded_msm_jit(curve_name: str, num_bits: int, mesh: Mesh):
         check_vma=False,
     )
     def run(scalars, pts):
-        part = _lane_msm(ops, scalars, pts, num_bits)  # triple of (1, L)
+        if method == "pippenger":
+            # per-shard bucketed MSM on-device; result is one Jacobian point
+            part = tuple(
+                c[None]
+                for c in msm_pallas(scalars, pts, curve, block=block,
+                                    method="pippenger")
+            )  # triple of (1, L)
+        else:
+            part = _lane_msm(ops, scalars, pts, num_bits)  # triple of (1, L)
         # gather all shards' partials and tree-reduce locally (point addition
         # is not a psum-able monoid for XLA, so gather + local combine)
         gathered = tuple(
@@ -77,8 +92,21 @@ def _sharded_msm_jit(curve_name: str, num_bits: int, mesh: Mesh):
     return jax.jit(run)
 
 
-def sharded_msm(scalars, points, curve: CurveParams, mesh: Mesh):
+def sharded_msm(scalars, points, curve: CurveParams, mesh: Mesh,
+                method: str = "auto", block: int = 256):
     """scalars: (N,16) plain limbs; points: (X,Y,Z) Montgomery limb arrays.
-    N must divide evenly across the mesh. Returns a Jacobian triple."""
+    N must divide evenly across the mesh. Returns a Jacobian triple.
+
+    method="pippenger" runs the shared-Horner Pippenger Pallas kernel per
+    shard; "lane" is the pure-XLA double-and-add. "auto" picks Pippenger on
+    TPU and the lane method elsewhere (interpret-mode Pallas on a CPU mesh is
+    correct but slow — only the dedicated test exercises it)."""
+    import jax
+
+    if method == "auto":
+        # axon/tpu backends report non-"cpu"; mirror pallas_msm's detection
+        method = "lane" if jax.default_backend() == "cpu" else "pippenger"
     num_bits = curve.scalar_modulus.bit_length()
-    return _sharded_msm_jit(curve.name, num_bits, mesh)(scalars, points)
+    return _sharded_msm_jit(curve.name, num_bits, mesh, method, block)(
+        scalars, points
+    )

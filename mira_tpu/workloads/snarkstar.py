@@ -10,9 +10,11 @@ arithmetic of Mira's fold_g1/fold_g2/fold_gt.
 
 NOTE: the reference's SPS currently fills g1/g2 instance elements and Gt cross
 terms with *random placeholders* ("TODO(jbeal)", plonk/mod.rs:690-703,
-vanilla/mod.rs:130-134); the fold machinery is exercised on the same
-structure here.  Real ark-style Groth16 proof ingestion is a recorded gap on
-both sides.
+vanilla/mod.rs:130-134); structural mode (default) exercises the fold
+machinery on the same shapes.  `real_proofs=True` goes beyond the reference:
+it generates Groth16 proofs on our own pairing stack (snark/groth16.py),
+feeds real [A, C, vk_x]/[B] group elements into the SPS instances, folds true
+bilinear Gt cross terms, and pairing-checks the folded Gt in the decider.
 """
 
 from __future__ import annotations

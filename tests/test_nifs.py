@@ -209,9 +209,12 @@ def test_fold_two_steps(circuit_cls):
     assert U_v2 == acc2.U
 
 
-def test_cross_terms_numeric_vs_symbolic():
+@pytest.mark.parametrize("assume_sat", [True, False])
+def test_cross_terms_numeric_vs_symbolic(assume_sat):
     """The numeric (evaluate+interpolate) cross terms must equal the
-    symbolic GroupedPoly slice evaluation (the reference's algorithm)."""
+    symbolic GroupedPoly slice evaluation (the reference's algorithm) —
+    both via the full d+1-point interpolation and via the satisfied-trace
+    shortcut (Q(0) = E, leading coefficient = 0)."""
     S, advice1, ck = setup(TwoGateCircuit, seed=3)
     runner2 = CircuitRunner(K, TwoGateCircuit(4), [], BN254_G1)
     advice2 = runner2.collect_witness()
@@ -222,7 +225,7 @@ def test_cross_terms_numeric_vs_symbolic():
     acc = trace1.to_relax(S.k)
 
     cross_terms, _ = VanillaFS.commit_cross_terms(
-        ck, S, acc.U, acc.W, trace2.u, trace2.w
+        ck, S, acc.U, acc.W, trace2.u, trace2.w, assume_sat=assume_sat
     )
 
     # symbolic: evaluate each grouped slice per row on host

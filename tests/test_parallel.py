@@ -1,6 +1,7 @@
 """Multi-chip (virtual 8-device CPU mesh) vs single-chip equality —
 the substitute for distributed tests per SURVEY.md §4."""
 
+import os
 import random
 
 import jax
@@ -58,6 +59,28 @@ def test_sharded_msm_matches_host():
     ops = jacobian_ops("bn254")
     sc = encode_scalars(scalars, BN254_G1.scalar_modulus)
     enc = ops.encode_points(pts)
-    out = sharded_msm(sc, enc, BN254_G1, mesh)
+    out = sharded_msm(sc, enc, BN254_G1, mesh, method="lane")
+    got = ops.decode_points(tuple(c[None] for c in out))[0]
+    assert got == msm_host(scalars, pts)
+
+
+@needs_8_devices
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MIRA_RUN_SLOW"),
+    reason="~3min in CPU interpret mode; set MIRA_RUN_SLOW=1",
+)
+def test_sharded_msm_pippenger_matches_host():
+    """Default multi-chip route: per-shard Pippenger Pallas kernel (interpret
+    mode on CPU) + all-gather tree reduction."""
+    mesh = make_mesh(8)
+    rng = random.Random(3)
+    n = 32
+    pts = [AffinePoint.random(BN254_G1, rng) for _ in range(n)]
+    scalars = [rng.randrange(BN254_G1.scalar_modulus) for _ in range(n)]
+    ops = jacobian_ops("bn254")
+    sc = encode_scalars(scalars, BN254_G1.scalar_modulus)
+    enc = ops.encode_points(pts)
+    out = sharded_msm(sc, enc, BN254_G1, mesh, block=4)
     got = ops.decode_points(tuple(c[None] for c in out))[0]
     assert got == msm_host(scalars, pts)

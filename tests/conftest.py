@@ -11,9 +11,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # The VM live-migrates between physical hosts MID-PROCESS; /proc/cpuinfo
+    # reflects the boot host while LLVM re-detects via CPUID, so host-tuned
+    # XLA:CPU code (and persisted AOT cache entries) can hit a different
+    # micro-architecture and crash (observed: segfaults in cache
+    # read/write/compile paths of long suite runs; "machine type ...
+    # doesn't match" AOT loader warnings).  Cap codegen at AVX2 — portable
+    # across the fleet.
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # The axon (remote TPU tunnel) PJRT plugin registers itself in every python
 # process via sitecustomize; merely having it registered makes the first
@@ -32,10 +40,39 @@ try:
     xla_bridge._platform_aliases.setdefault("tpu", "tpu")
 
     # persistent compile cache: the big limb-arithmetic graphs (MSM bodies)
-    # take minutes to compile on XLA:CPU; pay once per machine.
-    _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # take minutes to compile on XLA:CPU; pay once per machine.  The dir is
+    # namespaced by host CPU fingerprint — cross-machine XLA:CPU AOT loads
+    # SIGILL/segfault (utils/compile_cache.py).
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from mira_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+    )
 except Exception:
     pass
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    A single long pytest process accumulates hundreds of live XLA:CPU
+    executables; past a cumulative threshold, the NEXT big
+    compile/serialize/deserialize segfaults inside XLA (observed repeatedly
+    at the same suite position regardless of which test lands there; every
+    test passes standalone).  Dropping the jit caches per module keeps the
+    live-executable volume bounded; the persistent disk cache makes the
+    recompiles cheap."""
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass

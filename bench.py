@@ -7,7 +7,7 @@ the dominant kernel of the fold step (SURVEY.md §6 / BASELINE.md north star).
 roofline target recorded in BASELINE.md (the reference publishes no absolute
 numbers).
 
-Env knobs: MIRA_BENCH_LOG_N (default 16), MIRA_BENCH_METRIC=msm|ntt.
+Env knobs: MIRA_BENCH_LOG_N (default 16), MIRA_BENCH_METRIC=msm|ntt|fold|poseidon.
 """
 
 import json
@@ -21,12 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
 
-    # persistent compile cache to amortize across rounds
-    os.makedirs(".jax_cache", exist_ok=True)
+    # persistent compile cache to amortize across rounds (per-machine dir:
+    # cross-machine XLA:CPU AOT loads SIGILL — utils/compile_cache.py)
     try:
-        jax.config.update("jax_compilation_cache_dir", os.path.abspath(".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        from mira_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+        )
     except Exception:
         pass
 
@@ -51,36 +54,106 @@ def main():
 
         from mira_tpu.workloads.demo import demo_structure
 
-        k = min(log_n, 17)
+        k = min(log_n, 20)
         S, advice = demo_structure(k)
-        ev = S._evaluator("homogeneous")
         nrow = 1 << k
         w_vals = []
         for col in advice:
             w_vals.extend(col + [0] * (nrow - len(col)))
         W0 = lf.encode(w_vals)
-        challenges = lf.encode([12345, 1])
-        r = lf.encode([991])
 
-        @jax.jit
-        def fold_eval(W0_, r_):
-            Wf = lf.add(W0_, lf.mul(r_, W0_))
-            return ev._run(ev.static_cols, (Wf,), (), challenges)
+        impl = os.environ.get("MIRA_BENCH_FOLD_IMPL")
+        if impl is None:
+            impl = "pallas" if backend != "cpu" else "xla"
 
-        jax.block_until_ready(fold_eval(W0, r))
-        reps = 5
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fold_eval(W0, r)
-        jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / reps
-        value = nrow / dt
+        if impl == "pallas":
+            # fused multi-point sweep: P(W1 + j*W2) at all cross-term
+            # points in one pass (polynomial/pallas_evaluator.py)
+            import numpy as np
+
+            W2 = lf.mul(W0, lf.encode([3])[0][None])
+            js = [1, 2, 3, 4, 5]
+            ch1, ch2 = [12345, 1], [777, 1]
+            pev = S._pallas_fold_evaluator()
+
+            def run_once():
+                out = pev.fold_eval_multi((W0,), (W2,), js, ch1, ch2)
+                np.asarray(out[0, :1, 0])
+
+            run_once()  # compile
+            reps = 5
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                run_once()
+            dt = (time.perf_counter() - t0) / reps
+            value = len(js) * nrow / dt
+        else:
+            ev = S._evaluator("homogeneous")
+            challenges = lf.encode([12345, 1])
+            r = lf.encode([991])
+
+            @jax.jit
+            def fold_eval(W0_, r_):
+                Wf = lf.add(W0_, lf.mul(r_, W0_))
+                return ev._run(ev.static_cols, (Wf,), (), challenges)
+
+            jax.block_until_ready(fold_eval(W0, r))
+            reps = 5
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fold_eval(W0, r)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / reps
+            value = nrow / dt
         print(
             json.dumps(
                 {
                     "metric": f"fold_rows_per_sec@2^{k}/{backend}",
                     "value": round(value, 1),
                     "unit": "rows/s",
+                    "vs_baseline": round(value / 1e7, 4),
+                }
+            )
+        )
+        return
+
+    if which == "poseidon":
+        # batched 2-to-1 sponge hashes (Merkle-level workload) on device
+        import jax.numpy as jnp
+        import numpy as np
+
+        impl = os.environ.get("MIRA_BENCH_POSEIDON_IMPL")
+        if impl is None:
+            # fused VMEM-resident Pallas sponge on TPU; XLA batched version
+            # (one HBM round-trip per CIOS step) elsewhere
+            impl = "pallas" if backend != "cpu" else "xla"
+        if impl == "pallas":
+            from mira_tpu.ops.pallas_poseidon import (
+                poseidon_hash_batch_pallas as hash_batch,
+            )
+        else:
+            from mira_tpu.ops.poseidon_device import (
+                poseidon_hash_batch as hash_batch,
+            )
+
+        vals = lf.encode(
+            [rng.randrange(BN254_FR) for _ in range(2 * n)]
+        ).reshape(n, 2, 16)
+        out = hash_batch(vals, BN254_FR)  # compile + run
+        np.asarray(out[:1])
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = hash_batch(vals, BN254_FR)
+            np.asarray(out[:1])
+        dt = (time.perf_counter() - t0) / reps
+        value = n / dt
+        print(
+            json.dumps(
+                {
+                    "metric": f"poseidon_hashes_per_sec@2^{log_n}/{backend}",
+                    "value": round(value, 1),
+                    "unit": "hashes/s",
                     "vs_baseline": round(value / 1e7, 4),
                 }
             )

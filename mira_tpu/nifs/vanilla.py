@@ -25,6 +25,7 @@ vanilla/mod.rs:130-134); we reproduce the structure with an injectable RNG.
 from __future__ import annotations
 
 import dataclasses
+import os
 import random
 from functools import lru_cache
 from typing import List, Tuple
@@ -181,23 +182,40 @@ class VanillaFS:
         ch1 = list(U1.challenges) + [U1.u]
         ch2 = list(U2.challenges) + [1]  # fresh instance folds with u = 1
 
-        ev = S._evaluator("homogeneous")
-
-        def eval_at(j):
-            jm = lf.const(j, (1,))
-            chj = [(a + j * b) % p for a, b in zip(ch1, ch2)]
-            chj_enc = lf.encode(chj) if chj else lf.zero((0,))
-            return ev.fold_eval(W1.W, W2.W, jm, chj_enc)
-
         if assume_sat and d >= 1:
             # Q(0) = E and leading coeff = 0 by the two satisfaction
             # invariants: only the d-1 interior evaluations are computed.
-            evals = [eval_at(j) for j in range(1, d)]
+            js = list(range(1, d))
+        else:
+            js = list(range(d + 1))
+
+        import jax
+
+        impl = os.environ.get("MIRA_FOLD_EVAL")
+        if impl is None:
+            # fused Pallas sweep on TPU (all fold points in one pass over
+            # the witness columns); per-point XLA programs elsewhere
+            impl = "pallas" if jax.default_backend() != "cpu" else "xla"
+        if impl == "pallas" and js:
+            pev = S._pallas_fold_evaluator()
+            outs = pev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2)
+            evals = [outs[i] for i in range(len(js))]
+        else:
+            ev = S._evaluator("homogeneous")
+
+            def eval_at(j):
+                jm = lf.const(j, (1,))
+                chj = [(a + j * b) % p for a, b in zip(ch1, ch2)]
+                chj_enc = lf.encode(chj) if chj else lf.zero((0,))
+                return ev.fold_eval(W1.W, W2.W, jm, chj_enc)
+
+            evals = [eval_at(j) for j in js]
+
+        if assume_sat and d >= 1:
             cross_terms = list(
                 _combine_slices_sat_jit(p, d)(tuple(evals), W1.E)
             )
         else:
-            evals = [eval_at(j) for j in range(d + 1)]
             cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         g1_commits = [ck.commit_device(t) for t in cross_terms]

@@ -160,6 +160,28 @@ class PlonkStructure:
             )
         return cache[which]
 
+    def _pallas_fold_evaluator(self):
+        """VMEM-fused multi-point fold evaluator (polynomial/pallas_evaluator);
+        evaluates P(W1 + j*W2) at every cross-term point j in ONE sweep over
+        the witness columns — the TPU path of commit_cross_terms."""
+        cache = getattr(self, "_eval_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_eval_cache", cache)
+        if "pallas_fold" not in cache:
+            from ..polynomial.pallas_evaluator import PallasFoldEvaluator
+
+            cache["pallas_fold"] = PallasFoldEvaluator(
+                self.compressed_gates.homogeneous,
+                self.modulus,
+                self.num_advice_columns,
+                self.num_lookups(),
+                self.selectors,
+                self.fixed_columns,
+                1 << self.k,
+            )
+        return cache["pallas_fold"]
+
     # -- satisfaction checks -------------------------------------------------
     def is_sat(self, ck, ro_nark, U: "PlonkInstance", W: "PlonkWitness"):
         """reference plonk/mod.rs:436-493; raises on failure."""

@@ -209,12 +209,18 @@ def test_fold_two_steps(circuit_cls):
     assert U_v2 == acc2.U
 
 
+@pytest.mark.parametrize("fold_impl", ["xla", "pallas"])
 @pytest.mark.parametrize("assume_sat", [True, False])
-def test_cross_terms_numeric_vs_symbolic(assume_sat):
+def test_cross_terms_numeric_vs_symbolic(assume_sat, fold_impl, monkeypatch):
     """The numeric (evaluate+interpolate) cross terms must equal the
     symbolic GroupedPoly slice evaluation (the reference's algorithm) —
     both via the full d+1-point interpolation and via the satisfied-trace
-    shortcut (Q(0) = E, leading coefficient = 0)."""
+    shortcut (Q(0) = E, leading coefficient = 0).
+
+    fold_impl="pallas" routes through PallasFoldEvaluator (the fused
+    multi-point TPU kernel body, executed as plain jnp on the CPU test
+    backend — polynomial/pallas_evaluator.py)."""
+    monkeypatch.setenv("MIRA_FOLD_EVAL", fold_impl)
     S, advice1, ck = setup(TwoGateCircuit, seed=3)
     runner2 = CircuitRunner(K, TwoGateCircuit(4), [], BN254_G1)
     advice2 = runner2.collect_witness()

@@ -129,15 +129,33 @@ class LimbField:
 
         The to-Montgomery multiply runs on device (one fused CIOS by R^2)
         instead of one Python bigint mul+mod per value — the host loop was
-        ~80s/fold on SnarkStar witness vectors."""
+        ~80s/fold on SnarkStar witness vectors.  On CPU hosts the multiply
+        runs on the native 4x64 kernel (fields/native64.py) instead of the
+        XLA:CPU 16-bit-limb CIOS."""
         m = self.modulus
         vals = [v if isinstance(v, int) else v.v for v in vals]
-        raw = jnp.asarray(
-            ints_to_limbs([v if 0 <= v < m else v % m for v in vals]),
-            dtype=jnp.uint32,
-        )
-        if raw.shape[0] == 0:
-            return raw
+        raw16 = ints_to_limbs([v if 0 <= v < m else v % m for v in vals])
+        if raw16.shape[0] == 0:
+            return jnp.asarray(raw16, dtype=jnp.uint32)
+        if len(vals) >= 4096:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                try:
+                    from .native64 import (
+                        available,
+                        limbs16_to_64,
+                        limbs64_to_16,
+                        to_mont,
+                    )
+
+                    if available():
+                        return jnp.asarray(
+                            limbs64_to_16(to_mont(m, limbs16_to_64(raw16)))
+                        )
+                except ImportError:  # pragma: no cover
+                    pass
+        raw = jnp.asarray(raw16, dtype=jnp.uint32)
         return self.mul(raw, jnp.asarray(self.r2_np, dtype=jnp.uint32)[None])
 
     def decode(self, arr) -> list:

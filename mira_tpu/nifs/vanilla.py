@@ -194,29 +194,74 @@ class VanillaFS:
         impl = os.environ.get("MIRA_FOLD_EVAL")
         if impl is None:
             # fused Pallas sweep on TPU (all fold points in one pass over
-            # the witness columns); per-point XLA programs elsewhere
-            impl = "pallas" if jax.default_backend() != "cpu" else "xla"
-        if impl == "pallas" and js:
-            pev = S._pallas_fold_evaluator()
-            outs = pev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2)
-            evals = [outs[i] for i in range(len(js))]
-        else:
-            ev = S._evaluator("homogeneous")
+            # the witness columns); native C++ row VM on CPU hosts
+            if jax.default_backend() != "cpu":
+                impl = "pallas"
+            else:
+                from ..polynomial.native_evaluator import available
 
-            def eval_at(j):
-                jm = lf.const(j, (1,))
-                chj = [(a + j * b) % p for a, b in zip(ch1, ch2)]
-                chj_enc = lf.encode(chj) if chj else lf.zero((0,))
-                return ev.fold_eval(W1.W, W2.W, jm, chj_enc)
+                impl = "native" if available() else "xla"
+        if impl == "native" and js:
+            # native row-VM eval + native inverse-Vandermonde combine,
+            # entirely in 4x64 limbs (one 16-limb conversion at the end)
+            import jax.numpy as jnp
+            import numpy as np
 
-            evals = [eval_at(j) for j in js]
-
-        if assume_sat and d >= 1:
-            cross_terms = list(
-                _combine_slices_sat_jit(p, d)(tuple(evals), W1.E)
+            from ..fields.native64 import (
+                limbs16_to_64,
+                limbs64_to_16,
+                lincomb_mont,
             )
+
+            nev = S._native_fold_evaluator()
+            outs64 = nev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2, as64=True)
+            nrow = outs64.shape[1]
+            if assume_sat and d >= 1:
+                # T_k = sum_j invM[k][j]*(Q_j - E) == lincomb over
+                # [Q_1..Q_{d-1}, E] with the E coefficient folded in
+                invM = _inv_vandermonde_inner(p, d)
+                E64 = limbs16_to_64(np.asarray(W1.E))
+                ins = np.concatenate([outs64, E64[None]], axis=0)
+                coefs = [
+                    list(invM[k]) + [(-sum(invM[k])) % p]
+                    for k in range(d - 1)
+                ]
+                T64 = lincomb_mont(p, ins, coefs)
+                cross_terms = [
+                    jnp.asarray(limbs64_to_16(T64[k])) for k in range(d - 1)
+                ]
+                cross_terms.append(
+                    jnp.zeros((nrow, 16), jnp.uint32)  # T_d = 0 when sat
+                )
+            else:
+                invV = _inv_vandermonde(p, d)
+                coefs = [list(invV[k]) for k in range(1, d + 1)]
+                T64 = lincomb_mont(p, outs64, coefs)
+                cross_terms = [
+                    jnp.asarray(limbs64_to_16(T64[k])) for k in range(d)
+                ]
         else:
-            cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
+            if impl == "pallas" and js:
+                pev = S._pallas_fold_evaluator()
+                outs = pev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2)
+                evals = [outs[i] for i in range(len(js))]
+            else:
+                ev = S._evaluator("homogeneous")
+
+                def eval_at(j):
+                    jm = lf.const(j, (1,))
+                    chj = [(a + j * b) % p for a, b in zip(ch1, ch2)]
+                    chj_enc = lf.encode(chj) if chj else lf.zero((0,))
+                    return ev.fold_eval(W1.W, W2.W, jm, chj_enc)
+
+                evals = [eval_at(j) for j in js]
+
+            if assume_sat and d >= 1:
+                cross_terms = list(
+                    _combine_slices_sat_jit(p, d)(tuple(evals), W1.E)
+                )
+            else:
+                cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         g1_commits = [ck.commit_device(t) for t in cross_terms]
         ctx = getattr(S, "groth16_ctx", None)

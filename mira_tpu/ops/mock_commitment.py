@@ -45,5 +45,28 @@ class MockCommitmentKey:
         return self._gen.scalar_mul(acc % r)
 
     def commit_device(self, witness_mont) -> AffinePoint:
-        lf = limb_field(self.curve.scalar_modulus)
+        r = self.curve.scalar_modulus
+        try:
+            from ..fields.native64 import (
+                available,
+                inner_product_mont,
+                ints_to_64,
+                limbs16_to_64,
+            )
+
+            if available():
+                # <weights, witness> on the native 4x64 Montgomery kernel:
+                # mont_mul(w_plain, v_mont) = w*v, so no decode pass at all
+                if not hasattr(self, "_weights64"):
+                    self._weights64 = ints_to_64(self.weights)
+                import numpy as np
+
+                v64 = limbs16_to_64(np.asarray(witness_mont))
+                if v64.shape[0] > self.size:
+                    raise ValueError("input too long")
+                acc = inner_product_mont(r, self._weights64, v64)
+                return self._gen.scalar_mul(acc)
+        except ImportError:  # pragma: no cover
+            pass
+        lf = limb_field(r)
         return self.commit_ints(lf.decode(witness_mont))

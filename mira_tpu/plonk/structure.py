@@ -182,6 +182,28 @@ class PlonkStructure:
             )
         return cache["pallas_fold"]
 
+    def _native_fold_evaluator(self):
+        """Row-parallel native C++ VM (polynomial/native_evaluator) — the
+        CPU-host runtime path of commit_cross_terms (the reference's
+        rayon GraphEvaluator role)."""
+        cache = getattr(self, "_eval_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_eval_cache", cache)
+        if "native_fold" not in cache:
+            from ..polynomial.native_evaluator import NativeFoldEvaluator
+
+            cache["native_fold"] = NativeFoldEvaluator(
+                self.compressed_gates.homogeneous,
+                self.modulus,
+                self.num_advice_columns,
+                self.num_lookups(),
+                self.selectors,
+                self.fixed_columns,
+                1 << self.k,
+            )
+        return cache["native_fold"]
+
     # -- satisfaction checks -------------------------------------------------
     def is_sat(self, ck, ro_nark, U: "PlonkInstance", W: "PlonkWitness"):
         """reference plonk/mod.rs:436-493; raises on failure."""
@@ -657,15 +679,51 @@ class RelaxedPlonkWitness:
 
     def fold(self, W2: PlonkWitness, cross_terms: List, r: int) -> "RelaxedPlonkWitness":
         """W' = W1 + r*W2; E' = E + sum_k r^k T_k (reference plonk/mod.rs:1097),
-        as ONE fused program per shape instead of ~16 separate RLC passes."""
+        as ONE fused program per shape instead of ~16 separate RLC passes.
+        On CPU hosts the RLC runs on the native 4x64 Montgomery kernel."""
         lf = self.lf
         p = lf.modulus
-        r_m = lf.const(r % p, (1,))
         rpows = []
         rpow = r % p
         for _ in cross_terms:
             rpows.append(rpow)
             rpow = (rpow * r) % p
+
+        import jax
+
+        if jax.default_backend() == "cpu":
+            try:
+                from ..fields.native64 import (
+                    available,
+                    limbs16_to_64,
+                    limbs64_to_16,
+                    rlc_mont,
+                )
+
+                if available():
+                    import jax.numpy as jnp
+                    import numpy as np
+
+                    def nat_rlc(a, b, rr):
+                        return jnp.asarray(limbs64_to_16(rlc_mont(
+                            p,
+                            limbs16_to_64(np.asarray(a)),
+                            limbs16_to_64(np.asarray(b)),
+                            rr,
+                        )))
+
+                    W_out = [
+                        nat_rlc(a, b, r % p)
+                        for a, b in zip(self.W, W2.W)
+                    ]
+                    E = self.E
+                    for k, t in enumerate(cross_terms):
+                        E = nat_rlc(E, t, rpows[k])
+                    return RelaxedPlonkWitness(lf, W_out, E)
+            except ImportError:  # pragma: no cover
+                pass
+
+        r_m = lf.const(r % p, (1,))
         rp = lf.encode(rpows) if rpows else lf.zero((0,))
         W_out, E = _witness_fold_jit(p, len(self.W), len(cross_terms))(
             tuple(self.W), tuple(W2.W), self.E, tuple(cross_terms), r_m, rp

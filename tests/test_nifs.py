@@ -209,7 +209,7 @@ def test_fold_two_steps(circuit_cls):
     assert U_v2 == acc2.U
 
 
-@pytest.mark.parametrize("fold_impl", ["xla", "pallas"])
+@pytest.mark.parametrize("fold_impl", ["xla", "pallas", "native"])
 @pytest.mark.parametrize("assume_sat", [True, False])
 def test_cross_terms_numeric_vs_symbolic(assume_sat, fold_impl, monkeypatch):
     """The numeric (evaluate+interpolate) cross terms must equal the
@@ -219,7 +219,13 @@ def test_cross_terms_numeric_vs_symbolic(assume_sat, fold_impl, monkeypatch):
 
     fold_impl="pallas" routes through PallasFoldEvaluator (the fused
     multi-point TPU kernel body, executed as plain jnp on the CPU test
-    backend — polynomial/pallas_evaluator.py)."""
+    backend — polynomial/pallas_evaluator.py); "native" routes through the
+    C++ row VM (polynomial/native_evaluator.py)."""
+    if fold_impl == "native":
+        from mira_tpu.polynomial.native_evaluator import available
+
+        if not available():
+            pytest.skip("no native toolchain")
     monkeypatch.setenv("MIRA_FOLD_EVAL", fold_impl)
     S, advice1, ck = setup(TwoGateCircuit, seed=3)
     runner2 = CircuitRunner(K, TwoGateCircuit(4), [], BN254_G1)

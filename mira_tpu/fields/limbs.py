@@ -158,6 +158,22 @@ class LimbField:
         raw = jnp.asarray(raw16, dtype=jnp.uint32)
         return self.mul(raw, jnp.asarray(self.r2_np, dtype=jnp.uint32)[None])
 
+    def encode_padded(self, cols, nrow: int) -> jnp.ndarray:
+        """Ragged columns -> concatenated (len(cols)*nrow, 16) Montgomery
+        array with zero tails.  Only the used prefixes are converted
+        (Montgomery zero is zero), so sparse tables (large k, short
+        circuits) skip the padding entirely."""
+        total = len(cols) * nrow
+        used = [v for c in cols for v in c]
+        out = np.zeros((total, NUM_LIMBS), dtype=np.uint32)
+        if used:
+            enc = np.asarray(self.encode(used))
+            off = 0
+            for i, c in enumerate(cols):
+                out[i * nrow : i * nrow + len(c)] = enc[off : off + len(c)]
+                off += len(c)
+        return jnp.asarray(out)
+
     def decode(self, arr) -> list:
         """Montgomery limb array -> Python ints (canonical).
 

@@ -182,19 +182,24 @@ class PlonkStructure:
             )
         return cache["pallas_fold"]
 
-    def _native_fold_evaluator(self):
+    def _native_fold_evaluator(self, which: str = "homogeneous"):
         """Row-parallel native C++ VM (polynomial/native_evaluator) — the
-        CPU-host runtime path of commit_cross_terms (the reference's
-        rayon GraphEvaluator role)."""
+        CPU-host runtime path of commit_cross_terms and the is_sat checks
+        (the reference's rayon GraphEvaluator role)."""
         cache = getattr(self, "_eval_cache", None)
         if cache is None:
             cache = {}
             object.__setattr__(self, "_eval_cache", cache)
-        if "native_fold" not in cache:
+        key = f"native_fold:{which}"
+        if key not in cache:
             from ..polynomial.native_evaluator import NativeFoldEvaluator
 
-            cache["native_fold"] = NativeFoldEvaluator(
-                self.compressed_gates.homogeneous,
+            expr = {
+                "compressed": self.compressed_gates.compressed,
+                "homogeneous": self.compressed_gates.homogeneous,
+            }[which]
+            cache[key] = NativeFoldEvaluator(
+                expr,
                 self.modulus,
                 self.num_advice_columns,
                 self.num_lookups(),
@@ -202,14 +207,39 @@ class PlonkStructure:
                 self.fixed_columns,
                 1 << self.k,
             )
-        return cache["native_fold"]
+        return cache[key]
+
+    def _eval_full(self, which: str, Ws, challenges):
+        """Evaluate a compressed-gate expression on every row — native VM
+        on CPU hosts (j=0 fold against a zero witness), XLA elsewhere.
+        Returns an (nrow, 16) Montgomery limb array-like."""
+        import jax
+
+        if jax.default_backend() == "cpu":
+            try:
+                from ..polynomial.native_evaluator import available
+
+                if available():
+                    import numpy as np
+
+                    nev = self._native_fold_evaluator(which)
+                    zeros = [np.zeros_like(np.asarray(w)) for w in Ws]
+                    out = nev.fold_eval_multi(
+                        tuple(Ws), tuple(zeros), [0],
+                        [c % self.modulus for c in challenges],
+                        [0] * len(challenges),
+                    )
+                    return out[0]
+            except ImportError:  # pragma: no cover
+                pass
+        ev = self._evaluator(which)
+        return ev(Ws, (), list(challenges))
 
     # -- satisfaction checks -------------------------------------------------
     def is_sat(self, ck, ro_nark, U: "PlonkInstance", W: "PlonkWitness"):
         """reference plonk/mod.rs:436-493; raises on failure."""
         sps_verify(U, ro_nark)
-        ev = self._evaluator("compressed")
-        out = ev(W.W, (), U.challenges)
+        out = self._eval_full("compressed", W.W, U.challenges)
         vals = np.asarray(out)
         nonzero = int(np.sum(np.any(vals != 0, axis=-1)))
         if nonzero:
@@ -222,8 +252,9 @@ class PlonkStructure:
 
     def is_sat_relaxed(self, ck, U: "RelaxedPlonkInstance", W: "RelaxedPlonkWitness"):
         """reference plonk/mod.rs:495-560."""
-        ev = self._evaluator("homogeneous")
-        out = ev(W.W, (), list(U.challenges) + [U.u])
+        out = self._eval_full(
+            "homogeneous", W.W, list(U.challenges) + [U.u]
+        )
         vals = np.asarray(out)
         evals = np.asarray(W.E)
         nonzero = int(np.sum(np.any(vals != evals, axis=-1)))
@@ -324,7 +355,7 @@ class PlonkStructure:
 
     def _sps_0(self, ck, instance, advice, rng) -> "PlonkTrace":
         lf = self.lf
-        W1 = lf.encode(self._concat_pad(advice))
+        W1 = lf.encode_padded(advice, 1 << self.k)
         C1 = ck.commit_device(W1)
         g1, g2 = self._random_group_elements(rng)
         return PlonkTrace(
@@ -355,8 +386,8 @@ class PlonkStructure:
         # (plonk/mod.rs:765-772), which disagrees with its own evaluator for
         # >1 lookups -- we use the consistent interleaved layout.
         ls, ts, ms = self._lookup_coeff_1(advice, 0)
-        W1 = lf.encode(
-            self._concat_pad(advice) + self._concat_pad(_interleave3(ls, ts, ms))
+        W1 = lf.encode_padded(
+            list(advice) + list(_interleave3(ls, ts, ms)), 1 << self.k
         )
         cm1 = ck.commit_device(W1)
         for inst in instance:
@@ -365,7 +396,7 @@ class PlonkStructure:
         r1 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
         # round 2
         hs, gs = self._lookup_coeff_2(ls, ts, ms, r1)
-        W2 = lf.encode(self._concat_pad(_interleave(hs, gs)))
+        W2 = lf.encode_padded(_interleave(hs, gs), 1 << self.k)
         cm2 = ck.commit_device(W2)
         ro_nark.absorb_point(cm2)
         r2 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
@@ -382,20 +413,20 @@ class PlonkStructure:
         for inst in instance:
             ro_nark.absorb_field(base(inst % self.curve.base_modulus))
         # round 1: advice only
-        W1 = lf.encode(self._concat_pad(advice))
+        W1 = lf.encode_padded(advice, 1 << self.k)
         cm1 = ck.commit_device(W1)
         ro_nark.absorb_point(cm1)
         r1 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
         # round 2: l/t/m with vector compression challenge r1 (interleaved, see
         # the layout note in _sps_2)
         ls, ts, ms = self._lookup_coeff_1(advice, r1)
-        W2 = lf.encode(self._concat_pad(_interleave3(ls, ts, ms)))
+        W2 = lf.encode_padded(_interleave3(ls, ts, ms), 1 << self.k)
         cm2 = ck.commit_device(W2)
         ro_nark.absorb_point(cm2)
         r2 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
         # round 3: h/g
         hs, gs = self._lookup_coeff_2(ls, ts, ms, r2)
-        W3 = lf.encode(self._concat_pad(_interleave(hs, gs)))
+        W3 = lf.encode_padded(_interleave(hs, gs), 1 << self.k)
         cm3 = ck.commit_device(W3)
         ro_nark.absorb_point(cm3)
         r3 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v

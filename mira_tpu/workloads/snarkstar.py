@@ -79,7 +79,9 @@ def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
         pk = setup(r1cs, rng)
         pub = z[1:r1cs.num_public + 1]
         proofs = []
-        for _ in range((steps + 1) * batch_size):
+        # zero step + the trailing secondary trace of every fold step each
+        # consume one batch
+        for _ in range((steps + 2) * batch_size):
             pf = prove(pk, r1cs, z, rng)
             proofs.append((pf, list(pub)))
         assert verify(pk.vk, proofs[0][0], pub)

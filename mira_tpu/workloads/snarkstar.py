@@ -2,11 +2,16 @@
 accumulation workload (reference /root/reference/examples/groth16/).
 
 The primary step circuit applies Merkle-tree updates (groth16 circuit.rs:120-164
-uses the same MerkleTreeUpdateChip); the SECONDARY side's instances carry the
-pairing data — per proof batch: num_g1 = 2*batch, num_g2 = 1*batch,
-gt_degree = 2, gt_cross_terms = 2*batch (groth16/main.rs:258-267) — so the
-PRIMARY step-folding circuit runs the in-circuit G2 scalar-muls and Fp12
-arithmetic of Mira's fold_g1/fold_g2/fold_gt.
+uses the same MerkleTreeUpdateChip).  In structural mode the SECONDARY side's
+instances carry the pairing data — per proof batch: num_g1 = 2*batch,
+num_g2 = 1*batch, gt_degree = 2, gt_cross_terms = 2*batch
+(groth16/main.rs:258-267) — so the PRIMARY step-folding circuit runs the
+in-circuit G2 scalar-muls and Fp12 arithmetic of Mira's
+fold_g1/fold_g2/fold_gt, exactly like the reference.  In REAL-proof mode the
+pairing data rides the PRIMARY (bn254) side instead: BN254 points/Gt live
+over Fq, which is the bn254 base field and the SECONDARY SFC's table field —
+the reference's secondary-side placement only works because its elements are
+random placeholders already in Fr.
 
 NOTE: the reference's SPS currently fills g1/g2 instance elements and Gt cross
 terms with *random placeholders* ("TODO(jbeal)", plonk/mod.rs:690-703,
@@ -90,19 +95,38 @@ def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
         print(f"groth16 setup+{len(proofs)} proofs: {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    pp = PublicParams(
-        CircuitSide(sc1, ck1, k1),
-        CircuitSide(
-            sc2, ck2, k2,
-            num_g1=ctx.num_g1 if ctx else 2 * batch_size,
-            num_g2=ctx.num_g2 if ctx else 1 * batch_size,
-            gt_degree=2,
-            gt_cross_terms=ctx.num_gt_cross_terms if ctx else 2 * batch_size,
-            groth16_ctx=ctx,
-        ),
-        BN254_G1,
-        GRUMPKIN,
-    )
+    if ctx is not None:
+        # REAL mode: the pairing data must ride the PRIMARY (bn254) side —
+        # BN254 proof points have Fq coordinates and Gt lives over Fq12, and
+        # only the bn254 instances (base field Fq) fold them consistently
+        # both off-circuit and in the secondary SFC (table over Fq).  The
+        # reference parks its RANDOM placeholders on the secondary side
+        # (groth16/main.rs:258-267), where real Fq values would be silently
+        # reduced mod Fr.
+        pp = PublicParams(
+            CircuitSide(
+                sc1, ck1, k1,
+                num_g1=ctx.num_g1, num_g2=ctx.num_g2,
+                gt_degree=2, gt_cross_terms=ctx.num_gt_cross_terms,
+                groth16_ctx=ctx,
+            ),
+            CircuitSide(sc2, ck2, k2),
+            BN254_G1,
+            GRUMPKIN,
+        )
+    else:
+        pp = PublicParams(
+            CircuitSide(sc1, ck1, k1),
+            CircuitSide(
+                sc2, ck2, k2,
+                num_g1=2 * batch_size,
+                num_g2=1 * batch_size,
+                gt_degree=2,
+                gt_cross_terms=2 * batch_size,
+            ),
+            BN254_G1,
+            GRUMPKIN,
+        )
     print(f"public params: {time.time() - t0:.1f}s")
 
     z0 = [sc1.front_proof_batch()[0].root().old]

@@ -89,3 +89,22 @@ def test_real_proofs_through_nifs():
     acc2.U.gt_element = acc2.U.gt_element.mul(Tuple12.generator(Fb))
     with pytest.raises(SatError):
         S.is_sat_relaxed(ck, acc2.U, acc2.W)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not __import__("os").environ.get("MIRA_RUN_SLOW"),
+    reason="~3min e2e; set MIRA_RUN_SLOW=1",
+)
+def test_snarkstar_real_proofs_two_steps():
+    """Full IVC with real Groth16 proofs over TWO fold steps: exercises the
+    Gt pairing decider and on/off-circuit consistency with a non-trivial
+    accumulator (u1 != 0).  Regression for the field-placement bug where
+    pairing data rode the secondary (Fr-base) side and real Fq elements
+    were silently reduced."""
+    from mira_tpu.workloads import snarkstar
+
+    # k=19 (the batch-1 ladder size): the step-folding circuit with
+    # fold_g1/g2/gt gadget rows does not fit smaller tables
+    snarkstar.run(steps=2, batch_size=1,
+                  real_proofs=True, num_constraints=20)

@@ -83,10 +83,29 @@ class ConstraintSystem:
         self.lookups.append((name, inputs, tables))
 
 
-@dataclasses.dataclass(frozen=True)
 class Cell:
-    column: Column
-    row: int
+    """A (column, row) coordinate.  Plain __slots__ class: synthesis
+    creates millions of these — frozen-dataclass __init__ overhead was a
+    measurable slice of the fold step."""
+
+    __slots__ = ("column", "row")
+
+    def __init__(self, column: Column, row: int):
+        self.column = column
+        self.row = row
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Cell)
+            and self.column == other.column
+            and self.row == other.row
+        )
+
+    def __hash__(self):
+        return hash((self.column, self.row))
+
+    def __repr__(self):
+        return f"Cell({self.column}, {self.row})"
 
 
 class AssignedValue:
@@ -136,17 +155,22 @@ class TableData:
         return (cell.column.kind, cell.column.index, cell.row)
 
     def copy(self, a: Cell, b: Cell):
-        """Constrain two cells equal (halo2-style cycle pointer swap)."""
-        for c in (a, b):
-            assert c.column.kind in ("advice", "instance"), (
-                "fixed columns may not join copy constraints (breaks folding, "
-                "reference plonk/util.rs:33-35)"
+        """Constrain two cells equal (halo2-style cycle pointer swap).
+
+        Fixed columns may not join copy constraints (breaks folding,
+        reference plonk/util.rs:33-35)."""
+        ca, cb = a.column, b.column
+        if ca.kind == "fixed" or cb.kind == "fixed":
+            raise AssertionError(
+                "fixed columns may not join copy constraints"
             )
-        ka, kb = self._key(a), self._key(b)
-        na = self._perm_next.get(ka, ka)
-        nb = self._perm_next.get(kb, kb)
-        self._perm_next[ka] = nb
-        self._perm_next[kb] = na
+        perm = self._perm_next
+        ka = (ca.kind, ca.index, a.row)
+        kb = (cb.kind, cb.index, b.row)
+        na = perm.get(ka, ka)
+        nb = perm.get(kb, kb)
+        perm[ka] = nb
+        perm[kb] = na
 
     def constrain_instance(self, cell: Cell, instance_row: int):
         self.copy(cell, Cell(Column("instance", 0), instance_row))

@@ -21,7 +21,11 @@ def build_circuit(name: str, modulus: int, args):
         from .poseidon import PoseidonStepCircuit
 
         return PoseidonStepCircuit(modulus, args.repeat_count)
-    if name == "merkle":
+    if name in ("merkle", "groth16"):
+        # the reference's groth16 example drives the same MerkleTreeUpdate
+        # step circuit (groth16/circuit.rs:120-164); selecting "groth16"
+        # additionally expects the pairing sizing flags (--num-g1 etc.) to
+        # be set, mirroring examples/cli.rs:37-80
         from .merkle import MerkleTreeUpdateCircuit
 
         sc = MerkleTreeUpdateCircuit(modulus, args.batch_size)
@@ -35,9 +39,9 @@ def build_circuit(name: str, modulus: int, args):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--primary", default="poseidon",
-                    choices=["trivial", "poseidon", "merkle"])
+                    choices=["trivial", "poseidon", "merkle", "groth16"])
     ap.add_argument("--secondary", default="trivial",
-                    choices=["trivial", "poseidon", "merkle"])
+                    choices=["trivial", "poseidon", "merkle", "groth16"])
     ap.add_argument("--k-table-size", type=int, default=17)
     ap.add_argument("--commitment-key-size", type=int, default=21)
     ap.add_argument("--steps", type=int, default=2)
@@ -103,12 +107,12 @@ def main(argv=None):
 
     z0_1 = (
         [sc1.front_proof_batch()[0].root().old]
-        if args.primary == "merkle"
+        if args.primary in ("merkle", "groth16")
         else [0] * sc1.arity
     )
     z0_2 = (
         [sc2.front_proof_batch()[0].root().old]
-        if args.secondary == "merkle"
+        if args.secondary in ("merkle", "groth16")
         else [0] * sc2.arity
     )
     t0 = time.time()
@@ -117,7 +121,7 @@ def main(argv=None):
 
     for step in range(args.steps):
         for sc, name in ((sc1, args.primary), (sc2, args.secondary)):
-            if name == "merkle":
+            if name in ("merkle", "groth16"):
                 sc.pop_front_proof_batch()
         t0 = time.time()
         ivc.fold_step()

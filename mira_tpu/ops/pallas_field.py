@@ -32,18 +32,27 @@ def _roll_rows(x, shift: int, interpret: bool):
 
 
 class TField:
-    """Field constants + ops for the transposed (16, B) layout."""
+    """Field constants + ops for the transposed (16, B) layout.
+
+    lazy=True keeps values in the half-reduced domain [0, 2p) — the final
+    conditional subtraction is dropped from every Montgomery mul (inputs
+    < 2p give T = (ab+mp)/R < 4p^2/R + p < 2p for p <= 2^254), adds reduce
+    mod 2p, and zero tests accept both residues {0, p}.  ~20% fewer vector
+    ops per mul; call canon() before results leave the kernel."""
 
     def __init__(self, modulus: int, interpret: bool = False,
-                 mul_impl: str = "roll"):
+                 mul_impl: str = "roll", lazy: bool = False):
         # constants kept as NUMPY so Pallas kernels see literals, not
         # captured device arrays
+        assert modulus < 1 << (LIMB_BITS * NUM_LIMBS - 2), "need 4p <= R"
         self.modulus = modulus
         self.interpret = interpret
         self.mul_impl = mul_impl
+        self.lazy = lazy
         # per-limb python ints: tiles are built inside kernels from scalar
         # literals (Pallas rejects captured array constants)
         self.p_limbs = [int(v) for v in int_to_limbs(modulus)]
+        self.twop_limbs = [int(v) for v in int_to_limbs(2 * modulus)]
         self.n0inv = np.uint32((-pow(modulus, -1, 1 << LIMB_BITS)) & MASK)
         r = 1 << (LIMB_BITS * NUM_LIMBS)
         self.one_mont_limbs = [int(v) for v in int_to_limbs(r % modulus)]
@@ -104,19 +113,58 @@ class TField:
         acc17 = (sub & m) | (acc17 & ~m)
         return acc17[:NUM_LIMBS]
 
+    def _cond_sub_2p(self, acc17):
+        """(17, B) normalized value < 4p -> (16, B) value < 2p."""
+        B = acc17.shape[1]
+        t17 = jnp.concatenate(
+            [self._tile(self.twop_limbs, B), jnp.zeros((1, B), jnp.uint32)],
+            axis=0,
+        )
+        ge = self._geq(acc17, t17)
+        sub = self._sub16(acc17, t17)
+        m = (jnp.uint32(0) - ge)[None, :]
+        acc17 = (sub & m) | (acc17 & ~m)
+        return acc17[:NUM_LIMBS]
+
+    def canon(self, a):
+        """Half-reduced [0, 2p) -> canonical [0, p) (one cond-sub)."""
+        B = a.shape[1]
+        acc17 = jnp.concatenate([a, jnp.zeros((1, B), jnp.uint32)], axis=0)
+        return self._cond_sub_p(acc17)
+
     # -- ring ops ------------------------------------------------------------
     def add(self, a, b):
         acc = jnp.concatenate(
             [a + b, jnp.zeros((1, a.shape[1]), jnp.uint32)], axis=0
         )
-        return self._cond_sub_p(self._normalize17(acc))
+        acc = self._normalize17(acc)
+        if self.lazy:
+            return self._cond_sub_2p(acc)
+        return self._cond_sub_p(acc)
 
     def neg(self, a):
+        if self.lazy:
+            # 2p - a for a in [0, 2p); a = 0 maps to 2p, folded back by the
+            # conditional subtraction
+            B = a.shape[1]
+            d = self._sub16(self._tile(self.twop_limbs, B), a)
+            acc17 = jnp.concatenate(
+                [d, jnp.zeros((1, B), jnp.uint32)], axis=0
+            )
+            return self._cond_sub_2p(acc17)
         z = self.is_zero(a)
         d = self._sub16(self.p_tile(a.shape[1]), a)
         return self.select(z, a, d)
 
     def sub(self, a, b):
+        if self.lazy:
+            # a + (2p - b) < 4p, one normalize + one cond-sub-2p
+            B = a.shape[1]
+            d = self._sub16(self._tile(self.twop_limbs, B), b)
+            acc = jnp.concatenate(
+                [a + d, jnp.zeros((1, B), jnp.uint32)], axis=0
+            )
+            return self._cond_sub_2p(self._normalize17(acc))
         return self.add(a, self.neg(b))
 
     def double(self, a):
@@ -156,7 +204,12 @@ class TField:
         acc17 = jnp.concatenate(
             [acc, jnp.zeros((1, B), jnp.uint32)], axis=0
         )
-        return self._cond_sub_p(self._normalize17(acc17))
+        acc17 = self._normalize17(acc17)
+        if self.lazy:
+            # T = (ab + mp)/R < 4p^2/R + p < 2p for p <= R/4: stays in the
+            # half-reduced domain with NO conditional subtraction
+            return acc17[:NUM_LIMBS]
+        return self._cond_sub_p(acc17)
 
     def _mul_concat(self, a, b):
         B = a.shape[1]
@@ -182,7 +235,10 @@ class TField:
             carry = acc[0] >> LIMB_BITS
             acc = jnp.concatenate([acc[1:], zero_row], axis=0)
             acc = jnp.concatenate([acc[:1] + carry[None, :], acc[1:]], axis=0)
-        return self._cond_sub_p(self._normalize17(acc))
+        acc = self._normalize17(acc)
+        if self.lazy:
+            return acc[:NUM_LIMBS]
+        return self._cond_sub_p(acc)
 
     def square(self, a):
         return self.mul(a, a)
@@ -193,11 +249,21 @@ class TField:
         return (a & m) | (b & ~m)
 
     def is_zero(self, a):
-        """(B,) uint32 flag: 1 where all limbs zero."""
+        """(B,) uint32 flag: 1 where the value is zero (in lazy mode the
+        residues 0 and p both represent zero)."""
         nz = a[0]
         for i in range(1, NUM_LIMBS):
             nz = nz | a[i]
-        return jnp.where(nz == 0, jnp.uint32(1), jnp.uint32(0))
+        z = jnp.where(nz == 0, jnp.uint32(1), jnp.uint32(0))
+        if not self.lazy:
+            return z
+        B = a.shape[1]
+        pt = self.p_tile(B)
+        ne = a[0] ^ pt[0]
+        for i in range(1, NUM_LIMBS):
+            ne = ne | (a[i] ^ pt[i])
+        zp = jnp.where(ne == 0, jnp.uint32(1), jnp.uint32(0))
+        return z | zp
 
     # -- jacobian curve ops (a = 0) -----------------------------------------
     def jac_double(self, pt):
@@ -259,5 +325,5 @@ class TField:
 
 @lru_cache(maxsize=None)
 def tfield(modulus: int, interpret: bool = False,
-           mul_impl: str = "roll") -> TField:
-    return TField(modulus, interpret, mul_impl)
+           mul_impl: str = "roll", lazy: bool = False) -> TField:
+    return TField(modulus, interpret, mul_impl, lazy)

@@ -143,7 +143,10 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
         pltpu = None
         memory_space = None
 
-    tf = tfield(modulus, interpret)
+    # lazy half-reduced arithmetic: no conditional subtraction per mul —
+    # values live in [0, 2p) through the whole kernel and are canonicalized
+    # once at the output write
+    tf = tfield(modulus, interpret, lazy=True)
     nwin = (num_bits + WINDOW - 1) // WINDOW
     ndig = (1 << WINDOW) - 1
 
@@ -237,9 +240,9 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
                 return tf.jac_add(S, Ww)
 
             S = jax.lax.fori_loop(0, nwin - 1, hbody, S0)
-            ox_ref[...] = S[0]
-            oy_ref[...] = S[1]
-            oz_ref[...] = S[2]
+            ox_ref[...] = tf.canon(S[0])
+            oy_ref[...] = tf.canon(S[1])
+            oz_ref[...] = tf.canon(S[2])
 
     def run(sc, X, Y, Z):
         n = sc.shape[1]

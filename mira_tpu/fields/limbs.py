@@ -158,6 +158,34 @@ class LimbField:
         raw = jnp.asarray(raw16, dtype=jnp.uint32)
         return self.mul(raw, jnp.asarray(self.r2_np, dtype=jnp.uint32)[None])
 
+    def encode_raw16(self, raw16: np.ndarray) -> jnp.ndarray:
+        """(n, 16) plain uint32 limb planes (values < p) -> Montgomery device
+        array.  The packed twin of encode(): skips the python-int round trip
+        entirely (used by the witness-tape replay, ivc/tape_runner.py)."""
+        if raw16.shape[0] == 0:
+            return jnp.asarray(raw16, dtype=jnp.uint32)
+        m = self.modulus
+        if raw16.shape[0] >= 4096:
+            import jax
+
+            if jax.default_backend() == "cpu":
+                try:
+                    from .native64 import (
+                        available,
+                        limbs16_to_64,
+                        limbs64_to_16,
+                        to_mont,
+                    )
+
+                    if available():
+                        return jnp.asarray(
+                            limbs64_to_16(to_mont(m, limbs16_to_64(raw16)))
+                        )
+                except ImportError:  # pragma: no cover
+                    pass
+        raw = jnp.asarray(raw16, dtype=jnp.uint32)
+        return self.mul(raw, jnp.asarray(self.r2_np, dtype=jnp.uint32)[None])
+
     def encode_padded(self, cols, nrow: int) -> jnp.ndarray:
         """Ragged columns -> concatenated (len(cols)*nrow, 16) Montgomery
         array with zero tails.  Only the used prefixes are converted

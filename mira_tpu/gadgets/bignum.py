@@ -32,7 +32,12 @@ def int_to_bn_limbs(v: int, limb_width: int, limbs_count: int) -> List[int]:
 
 
 def limbs_to_int_bn(limbs: Sequence[int], limb_width: int) -> int:
-    return sum(int(l) << (i * limb_width) for i, l in enumerate(limbs))
+    from ..table.tape import TV
+
+    return sum(
+        (l if isinstance(l, TV) else int(l)) << (i * limb_width)
+        for i, l in enumerate(limbs)
+    )
 
 
 @dataclasses.dataclass

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import List, Optional, Tuple, Union
 
 from ..table.circuit import AssignedValue, Cell, Column, ConstraintSystem, RegionCtx
+from ..table.tape import as_int, getbit, invmod_or_one, iszero_mod
 
 # WrapValue: either a plain int (assign fresh) or an AssignedValue (assign +
 # copy-constrain to the source cell); None means leave the default 0.
@@ -189,8 +190,12 @@ class MainGate:
         ctx.next()
         return out
 
-    def assign_bits(self, ctx: RegionCtx, bits: List[bool]) -> List[AssignedValue]:
-        return [self.assign_bit(ctx, 1 if b else 0) for b in bits]
+    def assign_bits(self, ctx: RegionCtx, bits) -> List[AssignedValue]:
+        """bits: bools, 0/1 ints, or traced 0/1 values."""
+        return [
+            self.assign_bit(ctx, (1 if b else 0) if isinstance(b, bool) else b)
+            for b in bits
+        ]
 
     def add(self, ctx, a: AssignedValue, b: AssignedValue) -> AssignedValue:
         p = ctx.modulus
@@ -236,10 +241,10 @@ class MainGate:
     def invert_with_flag(self, ctx, a: AssignedValue):
         """Returns (r, a_inv): r=1 iff a==0 (gadgets/util.rs:51-80)."""
         p = ctx.modulus
-        if a.value % p == 0:
-            r_val, inv_val = 1, 1
-        else:
-            r_val, inv_val = 0, pow(a.value, -1, p)
+        # tape-safe: both the zero flag and the inverse are value ops, not a
+        # python branch (invmod_or_one(0) = 1, matching gadgets/util.rs:51-80)
+        r_val = iszero_mod(a.value, p)
+        inv_val = invmod_or_one(a.value, p)
         r = self.assign_bit(ctx, r_val)
         a_inv = self.assign_value(ctx, inv_val)
         # a * a' = 1 - r   <=>  q_m*a*a' + rc(-1) + q_o(1)*r = 0
@@ -313,13 +318,12 @@ class MainGate:
         """Decompose into LE bits and constrain the recomposition
         (main_gate.rs:818-843)."""
         v = input_.value
-        bits = [bool((v >> i) & 1) for i in range(max(v.bit_length(), 1))]
         # normalize_trailing_zeros semantics: pad/truncate to bit_len
-        assert len(bits) <= bit_len, "value exceeds bit length"
-        bits = bits + [False] * (bit_len - len(bits))
+        assert as_int(v).bit_length() <= bit_len, "value exceeds bit length"
+        bits = [getbit(v, i) for i in range(bit_len)]
         assigned = self.assign_bits(ctx, bits)
         num = self.le_bits_to_num(ctx, assigned)
-        assert num.value == input_.value
+        assert as_int(num.value) == as_int(input_.value)
         ctx.constrain_equal(input_.cell, num.cell)
         return assigned
 

@@ -107,14 +107,26 @@ class Tree:
 
 
 class MerkleTreeUpdateChip:
-    """In-circuit verification of one leaf update (chip.rs:16-103)."""
+    """In-circuit verification of one leaf update (chip.rs:16-103).
 
-    def __init__(self, proof: Proof, modulus: int):
-        assert proof.verify(modulus)
+    Deviation from the reference: the reference picks the (left, right)
+    hash-input order with a host-side branch on the path index
+    (chip.rs `left_sibling`), which makes the circuit SHAPE depend on the
+    witness.  Here the side flag is an assigned bit driving in-circuit
+    conditional selects, so the synthesis structure is index-independent —
+    a requirement for the witness-tape replay (table/tape.py) and the more
+    standard Merkle-membership circuit design anyway."""
+
+    def __init__(self, proof: Proof, modulus: int, check: bool = True):
+        if check:
+            assert proof.verify(modulus)
         self.proof = proof
         self.spec = get_spec(modulus, T, RATE, R_F, R_P)
 
     def prove_next_update(self, ctx, config: MainGateConfig) -> NodeUpdate:
+        from .main_gate import MainGate
+
+        mg = MainGate(config)
         assigner = CyclicAssigner(config.iter_advice_columns(), advice=True)
         assigned = []
         for u in self.proof.path:
@@ -135,12 +147,15 @@ class MerkleTreeUpdateChip:
         for level in range(DEPTH - 1):
             u = assigned[level]
             nxt = assigned[level + 1]
-            left_sibling = u.index % 2 == 1
-            pairs = (
-                [(u.sibling, u.old), (u.sibling, u.new)]
-                if left_sibling
-                else [(u.old, u.sibling), (u.new, u.sibling)]
-            )
+            # b = 1 => sibling on the left (odd index)
+            b = mg.assign_bit(ctx, u.index % 2)
+            pairs = [
+                (
+                    mg.conditional_select(ctx, u.sibling, node, b),
+                    mg.conditional_select(ctx, node, u.sibling, b),
+                )
+                for node in (u.old, u.new)
+            ]
             outs = []
             for l, r in pairs:
                 chip = PoseidonChip(config, self.spec)

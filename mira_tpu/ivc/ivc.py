@@ -59,6 +59,7 @@ class IVC:
         self.primary_circuit = primary
         self.secondary_circuit = secondary
         self.debug_mode = debug_mode
+        self._tapes = {}
 
         primary_ro = lambda: PoseidonHash(pp.primary.params.ro_spec)
         secondary_ro = lambda: PoseidonHash(pp.secondary.params.ro_spec)
@@ -108,7 +109,8 @@ class IVC:
             ),
         )
         primary_witness = self._synthesize(
-            pp.primary.k, primary_sfc, primary_instance, pp.primary_curve
+            pp.primary.k, primary_sfc, primary_instance, pp.primary_curve,
+            side="primary",
         )
 
         self.primary_nifs_pp, _ = VanillaFS.setup_params(pp.digest_1, pp.primary.S)
@@ -154,7 +156,8 @@ class IVC:
             ),
         )
         secondary_witness = self._synthesize(
-            pp.secondary.k, secondary_sfc, secondary_instance, pp.secondary_curve
+            pp.secondary.k, secondary_sfc, secondary_instance,
+            pp.secondary_curve, side="secondary",
         )
         self.secondary_nifs_pp, _ = VanillaFS.setup_params(pp.digest_2, pp.secondary.S)
         secondary_trace = VanillaFS.generate_plonk_trace(
@@ -170,11 +173,33 @@ class IVC:
         )
 
     # ------------------------------------------------------------------
-    def _synthesize(self, k, sfc, instance, curve):
+    def _synthesize(self, k, sfc, instance, curve, side=None):
         with span("synthesize"):
-            return self._synthesize_inner(k, sfc, instance, curve)
+            return self._synthesize_inner(k, sfc, instance, curve, side)
 
-    def _synthesize_inner(self, k, sfc, instance, curve):
+    def _synthesize_inner(self, k, sfc, instance, curve, side=None):
+        # witness-tape fast path (ivc/tape_runner.py): capture the first
+        # synthesis of each circuit side as a straight-line program, replay
+        # it for later steps.  Debug mode keeps the plain path (mock_check
+        # wants the full table).
+        import os
+
+        use_tape = (
+            side is not None
+            and not self.debug_mode
+            and getattr(sfc.step_circuit, "tape_safe", False)
+            and os.environ.get("MIRA_SYNTH", "tape") == "tape"
+        )
+        if use_tape:
+            from .tape_runner import capture_sfc, replay_sfc
+
+            captured = self._tapes.get(side)
+            if captured is None:
+                captured, witness = capture_sfc(k, sfc, instance, curve)
+                self._tapes[side] = captured
+                return witness
+            return replay_sfc(captured, sfc)
+
         runner = CircuitRunner(k, sfc, instance, curve)
         if self.debug_mode:
             cs, table = runner._synthesize()
@@ -222,7 +247,8 @@ class IVC:
             ),
         )
         primary_witness = self._synthesize(
-            pp.primary.k, primary_sfc, primary_instance, pp.primary_curve
+            pp.primary.k, primary_sfc, primary_instance, pp.primary_curve,
+            side="primary",
         )
         self.primary.z_i = primary_z_next
         self.secondary.relaxed_trace = secondary_new_trace
@@ -265,7 +291,8 @@ class IVC:
             ),
         )
         secondary_witness = self._synthesize(
-            pp.secondary.k, secondary_sfc, secondary_instance, pp.secondary_curve
+            pp.secondary.k, secondary_sfc, secondary_instance,
+            pp.secondary_curve, side="secondary",
         )
         self.secondary.z_i = secondary_z_next
         self.primary.relaxed_trace = primary_new_trace

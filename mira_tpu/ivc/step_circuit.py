@@ -17,6 +17,23 @@ class StepCircuit:
 
     arity: int = 1
 
+    # -- witness-tape protocol (ivc/tape_runner.py) --------------------------
+    # A circuit is tape-safe when its synthesize_step control flow depends
+    # only on structure (never on witness values).  Per-step values the
+    # circuit reads from `self` must be exposed via tape_signals() (flat int
+    # list, stable order) and consumed through the wrapper wrap_for_tape
+    # builds, so replays bind fresh values.
+    tape_safe: bool = False
+
+    def tape_signals(self) -> List[int]:
+        """Flat per-step value inputs (beyond z_in, which is already traced)."""
+        return []
+
+    def wrap_for_tape(self, tape) -> "StepCircuit":
+        """Return a view of self whose per-step values are tape inputs, in
+        tape_signals() order.  Default: no per-step values — self."""
+        return self
+
     def configure(self, cs: ConstraintSystem):
         raise NotImplementedError
 
@@ -41,6 +58,8 @@ class StepCircuit:
 
 class TrivialCircuit(StepCircuit):
     """Identity step (step_circuit.rs trivial::Circuit)."""
+
+    tape_safe = True
 
     def __init__(self, arity: int = 1):
         self.arity = arity

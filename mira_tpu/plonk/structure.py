@@ -279,11 +279,24 @@ class PlonkStructure:
         p = self.modulus
         nrow = 1 << self.k
         w0 = self.lf.decode(W.W[0])[: nrow * self.num_advice_columns]
-        Z = list(U.instance) + w0
-        y = [0] * len(Z)
+        Z = [v % p for v in U.instance] + w0
+        # P is a permutation with unit entries (one (i, j, 1) per row, see
+        # table/circuit.py permutation_matrix), so P*Z = Z reduces to
+        # Z[i] == Z[j] on the non-identity entries — no row accumulation
+        # (the dense mul-mod loop was the dominant verify cost)
+        mismatch = 0
+        general = []
         for (i, j, v) in self.permutation_matrix:
-            y[i] = (y[i] + v * Z[j]) % p
-        mismatch = sum(1 for a, b in zip(y, Z) if a % p != b % p)
+            if v == 1:
+                if i != j and Z[i] != Z[j]:
+                    mismatch += 1
+            else:
+                general.append((i, j, v))
+        if general:  # non-unit entries: fall back to the dense check
+            y = [0] * len(Z)
+            for (i, j, v) in self.permutation_matrix:
+                y[i] = (y[i] + v * Z[j]) % p
+            mismatch = sum(1 for a, b in zip(y, Z) if a % p != b % p)
         if mismatch:
             raise SatError(f"permutation check failed on {mismatch} entries")
 
@@ -320,9 +333,15 @@ class PlonkStructure:
     def run_sps_protocol(
         self, ck, instance: List[int], advice: List[List[int]], ro_nark, rng=None
     ) -> "PlonkTrace":
-        """advice: raw advice columns (each 2^k ints)."""
+        """advice: raw advice columns (each 2^k ints), or a PackedWitness
+        (witness-tape replay output, table/packed.py)."""
+        from ..table.packed import PackedWitness
+
         rng = rng or random.Random(0x5050)
         n = self.num_challenges
+        if isinstance(advice, PackedWitness) and n != 0:
+            # lookup coefficient rounds read int columns
+            advice = advice.to_int_cols()
         if n == 0:
             return self._sps_0(ck, instance, advice, rng)
         if n == 1:
@@ -354,8 +373,16 @@ class PlonkStructure:
         return g1, g2
 
     def _sps_0(self, ck, instance, advice, rng) -> "PlonkTrace":
+        from ..table.packed import PackedWitness
+
         lf = self.lf
-        W1 = lf.encode_padded(advice, 1 << self.k)
+        if isinstance(advice, PackedWitness):
+            # packed fast path: raw limb planes straight into the Montgomery
+            # encode, no python-int round trip
+            assert advice.nrow == 1 << self.k
+            W1 = lf.encode_raw16(advice.raw16)
+        else:
+            W1 = lf.encode_padded(advice, 1 << self.k)
         C1 = ck.commit_device(W1)
         g1, g2 = self._random_group_elements(rng)
         return PlonkTrace(

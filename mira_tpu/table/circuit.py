@@ -136,17 +136,35 @@ class TableData:
         # permutation cycles as halo2-style next-pointers over cells
         # cell key: ('instance'|'advice', column_index, row)
         self._perm_next: Dict[Tuple[str, int, int], Tuple[str, int, int]] = {}
+        # optional witness-tape recorder (table/tape.py): advice writes of
+        # traced values are logged so later steps can replay this synthesis
+        self.tape = None
 
     # -- assignment ----------------------------------------------------------
     def assign_fixed(self, col: Column, row: int, value: int) -> AssignedValue:
         assert col.kind == "fixed"
         v = value % self.modulus
+        if type(v) is not int:
+            from .tape import TapeUnsafe
+
+            raise TapeUnsafe(
+                "fixed cell assigned a traced value (fixed columns are "
+                "structure, not witness)"
+            )
         self.fixed[col.index][row] = v
         return AssignedValue(Cell(col, row), v)
 
     def assign_advice(self, col: Column, row: int, value: int) -> AssignedValue:
         assert col.kind == "advice"
         v = value % self.modulus
+        if type(v) is not int:
+            from .tape import TV
+
+            if isinstance(v, TV):
+                # capture mode: store the concrete value, log the write
+                self.advice[col.index][row] = v.v
+                self.tape.record_write(col.index, row, v.i)
+                return AssignedValue(Cell(col, row), v)
         self.advice[col.index][row] = v
         return AssignedValue(Cell(col, row), v)
 

@@ -1,0 +1,54 @@
+"""Packed witness: advice columns as a raw 16-bit-limb numpy plane instead
+of python-int lists.
+
+The witness-tape replay (ivc/tape_runner.py) produces cell values as packed
+words straight from the native VM; keeping them packed all the way into the
+Montgomery encode (fields/limbs.py encode_raw16) removes the two big
+host-side conversions of the SPS hot path — int->limb encode
+(ints_to_limbs' per-int to_bytes) and the VM-output->int scatter.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from ..fields.limbs import NUM_LIMBS, limbs_to_ints
+
+
+class PackedWitness:
+    """Advice table as one (num_cols * nrow, 16) uint32 plain-limb array
+    (row-major per column, zero-padded to nrow — the layout
+    encode_padded produces)."""
+
+    __slots__ = ("raw16", "num_cols", "nrow")
+
+    def __init__(self, raw16: np.ndarray, num_cols: int, nrow: int):
+        assert raw16.shape == (num_cols * nrow, NUM_LIMBS)
+        self.raw16 = raw16
+        self.num_cols = num_cols
+        self.nrow = nrow
+
+    def __len__(self):  # len(witness) == number of advice columns
+        return self.num_cols
+
+    def to_int_cols(self) -> List[List[int]]:
+        """Fallback for consumers that need python-int columns (lookup
+        coefficient evaluation)."""
+        flat = limbs_to_ints(self.raw16)
+        return [
+            flat[c * self.nrow : (c + 1) * self.nrow]
+            for c in range(self.num_cols)
+        ]
+
+
+def pack_int_cols(cols: List[List[int]], nrow: int) -> PackedWitness:
+    """Python-int columns -> PackedWitness (one-time, at tape capture)."""
+    from ..fields.limbs import ints_to_limbs
+
+    raw = np.zeros((len(cols) * nrow, NUM_LIMBS), dtype=np.uint32)
+    for c, col in enumerate(cols):
+        if col:
+            raw[c * nrow : c * nrow + len(col)] = ints_to_limbs(col)
+    return PackedWitness(raw, len(cols), nrow)

@@ -8,16 +8,27 @@ from collections import deque
 from typing import Deque, List
 
 from ..gadgets.main_gate import MainGate
-from ..gadgets.merkle import INDEX_LIMIT, MerkleTreeUpdateChip, Proof, Tree
+from ..gadgets.merkle import (
+    INDEX_LIMIT,
+    MerkleTreeUpdateChip,
+    NodeUpdate,
+    Proof,
+    Tree,
+)
 from ..ivc.step_circuit import StepCircuit
 from ..ivc.step_folding_circuit import MAIN_GATE_T
 
 
 class MerkleTreeUpdateCircuit(StepCircuit):
     """Applies a batch of leaf updates per step; z = [root]
-    (reference examples/merkle/circuit.rs)."""
+    (reference examples/merkle/circuit.rs).
+
+    Tape-safe: the update chip's structure is index-independent (in-circuit
+    side selects), so each step's proof batch binds as flat tape signals —
+    per path node: (side bit, old, new, sibling)."""
 
     arity = 1
+    tape_safe = True
 
     def __init__(self, modulus: int, batch_size: int = 1):
         self.modulus = modulus
@@ -63,6 +74,67 @@ class MerkleTreeUpdateCircuit(StepCircuit):
             update = MerkleTreeUpdateChip(proof, self.modulus).prove_next_update(
                 ctx, config
             )
+            ctx.constrain_equal(prev.cell, update.old.cell)
+            prev = update.new
+        return [prev]
+
+    def tape_signals(self):
+        out = []
+        for proof in self.front_proof_batch():
+            for u in proof.path:
+                out += [
+                    u.index % 2,
+                    u.old,
+                    u.new,
+                    0 if u.sibling is None else u.sibling,
+                ]
+        return out
+
+    def wrap_for_tape(self, tape):
+        view = _TapedMerkleView(self)
+        batch = []
+        for proof in self.front_proof_batch():
+            path = []
+            for u in proof.path:
+                bit = tape.input(u.index % 2)
+                old = tape.input(u.old)
+                new = tape.input(u.new)
+                sib = tape.input(0 if u.sibling is None else u.sibling)
+                path.append(
+                    NodeUpdate(
+                        index=bit,
+                        old=old,
+                        new=new,
+                        sibling=None if u.sibling is None else sib,
+                    )
+                )
+            batch.append(Proof(path))
+        view.wrapped_batch = batch
+        return view
+
+
+class _TapedMerkleView(StepCircuit):
+    """Capture-time view of MerkleTreeUpdateCircuit: same synthesis over a
+    proof batch whose values are tape inputs (validity of the concrete proof
+    is still asserted inside the chip on .v values)."""
+
+    tape_safe = True
+
+    def __init__(self, inner: "MerkleTreeUpdateCircuit"):
+        self.inner = inner
+        self.arity = inner.arity
+        self.modulus = inner.modulus
+        self.wrapped_batch = []
+
+    def configure(self, cs):
+        return self.inner.configure(cs)
+
+    def synthesize_step(self, config, ctx, z_in):
+        prev = z_in[0]
+        for proof in self.wrapped_batch:
+            update = MerkleTreeUpdateChip(
+                proof, self.modulus, check=False
+            ).prove_next_update(ctx, config)
             ctx.constrain_equal(prev.cell, update.old.cell)
             prev = update.new
         return [prev]

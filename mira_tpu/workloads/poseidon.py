@@ -17,6 +17,8 @@ class PoseidonStepCircuit(StepCircuit):
     """z_{i+1} = Poseidon(z_i), repeated `repeat_count` times per step."""
 
     arity = 1
+    # no per-step self state: z flows in through z_in, structure is static
+    tape_safe = True
 
     def __init__(self, modulus: int, repeat_count: int = 1):
         self.modulus = modulus

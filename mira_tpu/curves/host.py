@@ -478,6 +478,13 @@ class Tuple12:
 
     def mul(self, o: "Tuple12", xi_0: int = XI_0) -> "Tuple12":
         F = self.F
+        if F.P == BN254_FQ and xi_0 == XI_0:
+            # native 4x64 kernel (native/pairing.cpp) — bit-identical, ~50x
+            from .pairing import gt_mul_native
+
+            out = gt_mul_native(self, o)
+            if out is not None:
+                return out
         z = F(0)
         a0b0 = [z] * 11
         a0b1 = [z] * 11
@@ -514,6 +521,12 @@ class Tuple12:
         k = scalar.v if isinstance(scalar, Fp) else scalar
         if k == 0:
             return Tuple12.one(self.F)
+        if k > 0 and self.F.P == BN254_FQ:
+            from .pairing import gt_pow_native
+
+            out = gt_pow_native(self, k)
+            if out is not None:
+                return out
         acc = self if (k & 1) else Tuple12.one(self.F)
         p = self.mul(self)
         k >>= 1

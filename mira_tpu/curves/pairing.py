@@ -129,6 +129,139 @@ def final_exponentiation(f: Tuple12, modulus: int = BN254_FQ,
 
 
 def pairing(p: AffinePoint, q: G2Point) -> Tuple12:
-    """e: G1 x G2 -> Gt as a reference-layout Tuple12."""
+    """e: G1 x G2 -> Gt as a reference-layout Tuple12.
+
+    Routes to the native C++ implementation (native/pairing.cpp) when
+    available and the curve is BN254 — the host final exponentiation is a
+    ~3000-bit Fq12 square-and-multiply (~1s/pairing in python).
+    Set MIRA_PAIRING=host to force the python path."""
+    import os
+
+    if (
+        p.curve.base_modulus == BN254_FQ
+        and os.environ.get("MIRA_PAIRING", "auto") != "host"
+        and not (p.is_inf or q.is_inf)
+    ):
+        out = _pairing_native(p, q)
+        if out is not None:
+            return out
     return final_exponentiation(miller_loop(p, q), p.curve.base_modulus,
                                 p.curve.scalar_modulus)
+
+
+# ---------------------------------------------------------------------------
+# native routing (4x64 C++ kernels; bit-identical to the host path — see
+# tests/test_pairing.py native-vs-host case)
+
+def _fq_words(v: int) -> list:
+    return [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4)]
+
+
+@lru_cache(maxsize=None)
+def _native_ctx():
+    from ..utils.native_lib import load_pairing
+
+    lib = load_pairing()
+    if lib is None:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    g2, g3 = _frobenius_gammas(BN254_FQ)
+    gamma2 = np.asarray(
+        _fq_words(g2.c0.v) + _fq_words(g2.c1.v), dtype=np.uint64
+    )
+    gamma3 = np.asarray(
+        _fq_words(g3.c0.v) + _fq_words(g3.c1.v), dtype=np.uint64
+    )
+    e = _final_exp_exponent(BN254_FQ, BN254_FR)
+    fe_exp = np.frombuffer(
+        e.to_bytes((e.bit_length() + 7) // 8, "little"), dtype=np.uint8
+    ).copy()
+    return lib, gamma2, gamma3, fe_exp, ctypes, np
+
+
+def _t12_from_words(out, F) -> Tuple12:
+    vals = []
+    for i in range(12):
+        v = 0
+        for j in range(4):
+            v |= int(out[4 * i + j]) << (64 * j)
+        vals.append(F(v))
+    return Tuple12(vals, F)
+
+
+def _pairing_native(p: AffinePoint, q: G2Point):
+    ctx = _native_ctx()
+    if ctx is None:
+        return None
+    lib, gamma2, gamma3, fe_exp, ctypes, np = ctx
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    xp = np.asarray(_fq_words(p.x.v), dtype=np.uint64)
+    yp = np.asarray(_fq_words(p.y.v), dtype=np.uint64)
+    xq = np.asarray(_fq_words(q.x.c0.v) + _fq_words(q.x.c1.v), dtype=np.uint64)
+    yq = np.asarray(_fq_words(q.y.c0.v) + _fq_words(q.y.c1.v), dtype=np.uint64)
+    out = np.zeros(48, dtype=np.uint64)
+    rc = lib.mira_pairing(
+        xp.ctypes.data_as(u64p), yp.ctypes.data_as(u64p),
+        xq.ctypes.data_as(u64p), yq.ctypes.data_as(u64p),
+        gamma2.ctypes.data_as(u64p), gamma3.ctypes.data_as(u64p),
+        fe_exp.ctypes.data_as(u8p), len(fe_exp),
+        out.ctypes.data_as(u64p),
+    )
+    if rc != 0:  # pragma: no cover
+        return None
+    return _t12_from_words(out, field(BN254_FQ))
+
+
+def gt_mul_native(a: Tuple12, b: Tuple12):
+    """Native Gt multiply, or None when unavailable/forced host.  Called
+    from Tuple12.mul itself (curves/host.py), so no host fallback here."""
+    import os
+
+    if os.environ.get("MIRA_PAIRING", "auto") == "host" or a.F.P != BN254_FQ:
+        return None
+    ctx = _native_ctx()
+    if ctx is None:
+        return None
+    lib, _g2, _g3, _fe, ctypes, np = ctx
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    aw = np.asarray(sum((_fq_words(e.v) for e in a.elements), []), dtype=np.uint64)
+    bw = np.asarray(sum((_fq_words(e.v) for e in b.elements), []), dtype=np.uint64)
+    out = np.zeros(48, dtype=np.uint64)
+    lib.mira_gt_mul(
+        aw.ctypes.data_as(u64p), bw.ctypes.data_as(u64p),
+        out.ctypes.data_as(u64p),
+    )
+    return _t12_from_words(out, a.F)
+
+
+def gt_pow_native(a: Tuple12, k: int):
+    """Native Gt exponentiation (LSB square-and-multiply, same semantics as
+    the host Tuple12.scalar_mul), or None.  Called from Tuple12.scalar_mul."""
+    import os
+
+    if (
+        os.environ.get("MIRA_PAIRING", "auto") == "host"
+        or a.F.P != BN254_FQ
+        or k <= 0
+    ):
+        return None
+    ctx = _native_ctx()
+    if ctx is None:
+        return None
+    lib, _g2, _g3, _fe, ctypes, np = ctx
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    aw = np.asarray(sum((_fq_words(e.v) for e in a.elements), []), dtype=np.uint64)
+    eb = np.frombuffer(
+        k.to_bytes((k.bit_length() + 7) // 8, "little"), dtype=np.uint8
+    ).copy()
+    out = np.zeros(48, dtype=np.uint64)
+    lib.mira_gt_pow(
+        aw.ctypes.data_as(u64p), eb.ctypes.data_as(u8p), len(eb),
+        out.ctypes.data_as(u64p),
+    )
+    return _t12_from_words(out, a.F)

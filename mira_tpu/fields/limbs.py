@@ -170,17 +170,11 @@ class LimbField:
 
             if jax.default_backend() == "cpu":
                 try:
-                    from .native64 import (
-                        available,
-                        limbs16_to_64,
-                        limbs64_to_16,
-                        to_mont,
-                    )
+                    from .native64 import available, to_mont16
 
                     if available():
-                        return jnp.asarray(
-                            limbs64_to_16(to_mont(m, limbs16_to_64(raw16)))
-                        )
+                        # fused pack/mul/unpack pass — no 16<->64 temporaries
+                        return jnp.asarray(to_mont16(m, raw16))
                 except ImportError:  # pragma: no cover
                     pass
         raw = jnp.asarray(raw16, dtype=jnp.uint32)

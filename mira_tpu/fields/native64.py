@@ -135,3 +135,37 @@ def rlc_mont(p: int, a64: np.ndarray, b64: np.ndarray, r: int,
         n, nthreads, _ptr(out),
     )
     return out.reshape(a64.shape)
+
+
+def _ptr32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def to_mont16(p: int, raw16: np.ndarray, nthreads: int = 0) -> np.ndarray:
+    """(n, 16) plain uint32 16-bit-limb planes -> Montgomery, same layout.
+    Single fused native pass (pack/mul/unpack in registers) — no numpy
+    16<->64 temporaries."""
+    lib = load()
+    a = np.ascontiguousarray(raw16, dtype=np.uint32)
+    out = np.empty_like(a)
+    n = a.shape[0]
+    r2 = int_to_64((1 << 512) % p)
+    lib.mira_mul_const_mont16(_ptr(int_to_64(p)), _ptr32(a), _ptr(r2),
+                              n, nthreads, _ptr32(out))
+    return out
+
+
+def inner_product_mont16(p: int, w_plain64: np.ndarray, v16: np.ndarray,
+                         nthreads: int = 0) -> int:
+    """<w_plain, v_mont> with v in (n, 16) limb planes; returns plain int
+    (mont_mul(w_plain, v_mont) = w*v, so the result needs no decode)."""
+    lib = load()
+    v = np.ascontiguousarray(v16, dtype=np.uint32)
+    n = v.shape[0]
+    assert w_plain64.shape[0] >= n
+    out = np.zeros(4, dtype=np.uint64)
+    lib.mira_inner_product_mont16(
+        _ptr(int_to_64(p)), _ptr(np.ascontiguousarray(w_plain64[:n])),
+        _ptr32(v), n, nthreads, _ptr(out),
+    )
+    return u64_to_int(out)

@@ -163,6 +163,7 @@ class CapturedSynthesis:
     k: int
     packed_template: object = None  # lazy (num_advice*nrow, 16) uint32
     packed_positions: object = None  # flat cell index per dynamic write
+    used_rows: int = -1  # nonzero row extent over all columns
 
 
 def capture_sfc(k: int, sfc: StepFoldingCircuit, instance: List[int], curve):
@@ -241,6 +242,17 @@ def _replay_packed(captured: CapturedSynthesis, inputs: List[int]):
         captured.packed_template = pack_int_cols(
             captured.advice_template, nrow
         ).raw16
+        # nonzero extent: template values + every replayable write row
+        used = 0
+        for col in captured.advice_template:
+            for r in range(len(col) - 1, -1, -1):
+                if col[r] != 0:
+                    used = max(used, r + 1)
+                    break
+        for _col, row, _slot in captured.tape.writes:
+            if row >= used:
+                used = row + 1
+        captured.used_rows = used
 
     out_buf, prep = tape_vm_run_raw(captured.tape, inputs)
     if captured.packed_positions is None:
@@ -261,4 +273,6 @@ def _replay_packed(captured: CapturedSynthesis, inputs: List[int]):
         v = int(inputs[slot])
         limbs = [(v >> (16 * i)) & 0xFFFF for i in range(16)]
         raw16[col * nrow + row] = np.asarray(limbs, dtype=np.uint32)
-    return PackedWitness(raw16, captured.num_advice, nrow)
+    return PackedWitness(
+        raw16, captured.num_advice, nrow, used_rows=captured.used_rows
+    )

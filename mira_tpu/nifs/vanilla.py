@@ -214,7 +214,8 @@ class VanillaFS:
             )
 
             nev = S._native_fold_evaluator()
-            outs64 = nev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2, as64=True)
+            with span("cross_term_eval"):
+                outs64 = nev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2, as64=True)
             nrow = outs64.shape[1]
             if assume_sat and d >= 1:
                 # T_k = sum_j invM[k][j]*(Q_j - E) == lincomb over
@@ -263,12 +264,14 @@ class VanillaFS:
             else:
                 cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
-        g1_commits = [ck.commit_device(t) for t in cross_terms]
+        with span("cross_term_commit"):
+            g1_commits = [ck.commit_device(t) for t in cross_terms]
         ctx = getattr(S, "groth16_ctx", None)
         if ctx is not None:
             # real bilinear pairing cross terms (snark/groth16.py) — the
             # reference emits random Tuple12s here (vanilla/mod.rs:130-134)
-            gt_commits = ctx.gt_cross_terms(U1, U2)
+            with span("gt_cross_terms"):
+                gt_commits = ctx.gt_cross_terms(U1, U2)
         else:
             Fb = field(S.curve.base_modulus)
             gt_commits = [

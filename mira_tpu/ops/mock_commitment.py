@@ -56,15 +56,19 @@ class MockCommitmentKey:
 
             if available():
                 # <weights, witness> on the native 4x64 Montgomery kernel:
-                # mont_mul(w_plain, v_mont) = w*v, so no decode pass at all
+                # mont_mul(w_plain, v_mont) = w*v, so no decode pass at all;
+                # the witness side stays in its (n, 16) device layout
+                # (fused pack inside the kernel)
                 if not hasattr(self, "_weights64"):
                     self._weights64 = ints_to_64(self.weights)
                 import numpy as np
 
-                v64 = limbs16_to_64(np.asarray(witness_mont))
-                if v64.shape[0] > self.size:
+                from ..fields.native64 import inner_product_mont16
+
+                v16 = np.asarray(witness_mont)
+                if v16.shape[0] > self.size:
                     raise ValueError("input too long")
-                acc = inner_product_mont(r, self._weights64, v64)
+                acc = inner_product_mont16(r, self._weights64, v16)
                 return self._gen.scalar_mul(acc)
         except ImportError:  # pragma: no cover
             pass

@@ -39,6 +39,7 @@ from ..polynomial.expression import (
     GroupedPoly,
     QueryIndexContext,
 )
+from ..utils.tracing import span
 
 NUM_CHALLENGE_BITS = 128
 
@@ -376,15 +377,19 @@ class PlonkStructure:
         from ..table.packed import PackedWitness
 
         lf = self.lf
-        if isinstance(advice, PackedWitness):
-            # packed fast path: raw limb planes straight into the Montgomery
-            # encode, no python-int round trip
-            assert advice.nrow == 1 << self.k
-            W1 = lf.encode_raw16(advice.raw16)
-        else:
-            W1 = lf.encode_padded(advice, 1 << self.k)
-        C1 = ck.commit_device(W1)
-        g1, g2 = self._random_group_elements(rng)
+        with span("witness_encode"):
+            if isinstance(advice, PackedWitness):
+                # packed fast path: raw limb planes straight into the
+                # Montgomery encode, no python-int round trip, and only
+                # the used row prefix is converted
+                assert advice.nrow == 1 << self.k
+                W1 = advice.encode_mont(lf)
+            else:
+                W1 = lf.encode_padded(advice, 1 << self.k)
+        with span("witness_commit"):
+            C1 = ck.commit_device(W1)
+        with span("sps_group_elements"):
+            g1, g2 = self._random_group_elements(rng)
         return PlonkTrace(
             u=PlonkInstance(self.curve, [C1], list(instance), [], g1, g2),
             w=PlonkWitness(lf, [W1]),

@@ -20,15 +20,42 @@ from ..fields.limbs import NUM_LIMBS, limbs_to_ints
 class PackedWitness:
     """Advice table as one (num_cols * nrow, 16) uint32 plain-limb array
     (row-major per column, zero-padded to nrow — the layout
-    encode_padded produces)."""
+    encode_padded produces).
 
-    __slots__ = ("raw16", "num_cols", "nrow")
+    `used_rows` bounds the nonzero extent of every column: rows beyond it
+    are zero, and zero is its own Montgomery form, so the encode only has
+    to convert the used prefixes (most tables are short circuits in tall
+    2^k tables)."""
 
-    def __init__(self, raw16: np.ndarray, num_cols: int, nrow: int):
+    __slots__ = ("raw16", "num_cols", "nrow", "used_rows")
+
+    def __init__(
+        self, raw16: np.ndarray, num_cols: int, nrow: int, used_rows: int = -1
+    ):
         assert raw16.shape == (num_cols * nrow, NUM_LIMBS)
         self.raw16 = raw16
         self.num_cols = num_cols
         self.nrow = nrow
+        self.used_rows = nrow if used_rows < 0 else min(used_rows, nrow)
+
+    def encode_mont(self, lf):
+        """Montgomery device encode of the whole table, converting only the
+        used prefix of each column."""
+        import jax.numpy as jnp
+
+        used = self.used_rows
+        if used >= self.nrow:
+            return lf.encode_raw16(self.raw16)
+        view = self.raw16.reshape(self.num_cols, self.nrow, NUM_LIMBS)
+        enc = lf.encode_raw16(
+            np.ascontiguousarray(view[:, :used]).reshape(-1, NUM_LIMBS)
+        )
+        out = np.zeros_like(self.raw16)
+        out_v = out.reshape(self.num_cols, self.nrow, NUM_LIMBS)
+        out_v[:, :used] = np.asarray(enc).reshape(
+            self.num_cols, used, NUM_LIMBS
+        )
+        return jnp.asarray(out)
 
     def __len__(self):  # len(witness) == number of advice columns
         return self.num_cols

@@ -23,6 +23,7 @@ _build_lock = threading.Lock()
 
 u64p = ctypes.POINTER(ctypes.c_uint64)
 i32p = ctypes.POINTER(ctypes.c_int32)
+u32p = ctypes.POINTER(ctypes.c_uint32)
 
 
 @lru_cache(maxsize=1)
@@ -73,6 +74,14 @@ def load():
         u64p,
     ]
     lib.mira_lincomb_mont.restype = None
+    lib.mira_mul_const_mont16.argtypes = [
+        u64p, u32p, u64p, ctypes.c_size_t, ctypes.c_int, u32p,
+    ]
+    lib.mira_mul_const_mont16.restype = None
+    lib.mira_inner_product_mont16.argtypes = [
+        u64p, u64p, u32p, ctypes.c_size_t, ctypes.c_int, u64p,
+    ]
+    lib.mira_inner_product_mont16.restype = None
     return lib
 
 
@@ -295,3 +304,50 @@ def tape_vm_write_values(tape, inputs):
         for i in range(len(prep["dyn_writes"]))
     ]
     return vals, prep
+
+
+# ---------------------------------------------------------------------------
+# BN254 pairing + Gt arithmetic (native/pairing.cpp) — used by the real-proof
+# Gt cross terms and the pairing decider (snark/groth16.py); the host python
+# pairing costs ~1s each (its final exponentiation dominates).
+
+_PAIR_SRC = os.path.join(_NATIVE_DIR, "pairing.cpp")
+_PAIR_SO = os.path.join(_NATIVE_DIR, "libmirapairing.so")
+
+u8p = ctypes.POINTER(ctypes.c_uint8)
+
+
+@lru_cache(maxsize=1)
+def load_pairing():
+    with _build_lock:
+        if not os.path.exists(_PAIR_SO) or os.path.getmtime(
+            _PAIR_SO
+        ) < os.path.getmtime(_PAIR_SRC):
+            try:
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                        _PAIR_SRC, "-o", _PAIR_SO,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            except (OSError, subprocess.CalledProcessError):
+                return None
+        try:
+            lib = ctypes.CDLL(_PAIR_SO)
+        except OSError:
+            return None
+    lib.mira_pairing.argtypes = [
+        u64p, u64p, u64p, u64p, u64p, u64p, u8p, ctypes.c_int64, u64p,
+    ]
+    lib.mira_pairing.restype = ctypes.c_int
+    lib.mira_gt_mul.argtypes = [u64p, u64p, u64p]
+    lib.mira_gt_mul.restype = ctypes.c_int
+    lib.mira_gt_pow.argtypes = [u64p, u8p, ctypes.c_int64, u64p]
+    lib.mira_gt_pow.restype = ctypes.c_int
+    return lib
+
+
+def pairing_available() -> bool:
+    return load_pairing() is not None

@@ -254,6 +254,68 @@ extern "C" void mira_mul_const_mont(
 // out[k][i] = sum_j mont_mul(coef[k][j], in[j][i]) — batched linear
 // combination of m_in stacked vectors into m_out outputs (the
 // inverse-Vandermonde cross-term combine, nifs/vanilla.py).
+// 16-bit-limb I/O twins: witness vectors live device-side as (n, 16)
+// uint32 16-bit-limb planes; these kernels pack/unpack to 4x64 in registers
+// so the layout conversion costs no numpy temporaries (it was the dominant
+// cost of the Montgomery witness encode at 2^19-row tables).
+static inline void load16(const uint32_t *in, Fp &v) {
+  for (int k = 0; k < 4; ++k) {
+    v.v[k] = (uint64_t)(uint16_t)in[4 * k] |
+             ((uint64_t)(uint16_t)in[4 * k + 1] << 16) |
+             ((uint64_t)(uint16_t)in[4 * k + 2] << 32) |
+             ((uint64_t)(uint16_t)in[4 * k + 3] << 48);
+  }
+}
+
+static inline void store16(uint32_t *out, const Fp &v) {
+  for (int k = 0; k < 4; ++k) {
+    out[4 * k] = (uint32_t)(v.v[k] & 0xffff);
+    out[4 * k + 1] = (uint32_t)((v.v[k] >> 16) & 0xffff);
+    out[4 * k + 2] = (uint32_t)((v.v[k] >> 32) & 0xffff);
+    out[4 * k + 3] = (uint32_t)((v.v[k] >> 48) & 0xffff);
+  }
+}
+
+extern "C" void mira_mul_const_mont16(
+    const uint64_t *modulus, const uint32_t *a16, const uint64_t *c,
+    size_t n, int nthreads, uint32_t *out16) {
+  Field f;
+  field_init(f, modulus);
+  Fp cv;
+  std::memcpy(cv.v, c, 32);
+  parallel_chunks(n, nthreads, [&](size_t, size_t lo, size_t hi) {
+    Fp v, o;
+    for (size_t i = lo; i < hi; ++i) {
+      load16(a16 + 16 * i, v);
+      mul(f, o, v, cv);
+      store16(out16 + 16 * i, o);
+    }
+  });
+}
+
+extern "C" void mira_inner_product_mont16(
+    const uint64_t *modulus, const uint64_t *w_plain64, const uint32_t *v16,
+    size_t n, int nthreads, uint64_t *out) {
+  Field f;
+  field_init(f, modulus);
+  const Fp *wp = (const Fp *)w_plain64;
+  size_t maxp = 4096;  // one slot per chunk index (see mira_inner_product_mont)
+  std::vector<Fp> partial(maxp);
+  for (auto &x : partial) x = Fp{{0, 0, 0, 0}};
+  parallel_chunks(n, nthreads, [&](size_t ci, size_t lo, size_t hi) {
+    Fp acc{{0, 0, 0, 0}}, v, t;
+    for (size_t i = lo; i < hi; ++i) {
+      load16(v16 + 16 * i, v);
+      mul(f, t, wp[i], v);
+      add(f, acc, acc, t);
+    }
+    add(f, partial[ci % maxp], partial[ci % maxp], acc);
+  });
+  Fp acc{{0, 0, 0, 0}};
+  for (auto &x : partial) add(f, acc, acc, x);
+  std::memcpy(out, acc.v, 32);
+}
+
 extern "C" void mira_lincomb_mont(
     const uint64_t *modulus,
     const uint64_t *ins,    // m_in * n * 4 (Montgomery)

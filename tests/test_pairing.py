@@ -47,3 +47,39 @@ def test_miller_loop_nondegenerate():
     assert [
         c.v for c in final_exponentiation(f).elements
     ] != [c.v for c in one.elements]
+
+
+def test_native_pairing_matches_host():
+    """native/pairing.cpp must be bit-identical to the host python path
+    (pairing, Gt multiply, Gt exponentiation)."""
+    import os
+    import random
+
+    from mira_tpu.utils.native_lib import pairing_available
+
+    if not pairing_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    from mira_tpu.curves.host import BN254_G1, AffinePoint, G2Point, Tuple12
+    from mira_tpu.curves.pairing import gt_mul_native, gt_pow_native, pairing
+    from mira_tpu.fields.host import field
+
+    rng = random.Random(99)
+    Fb = field(BN254_G1.base_modulus)
+    a = AffinePoint.random(BN254_G1, rng)
+    b = G2Point.random(rng, Fb)
+
+    os.environ["MIRA_PAIRING"] = "host"
+    try:
+        e_host = pairing(a, b)
+        g = Tuple12.generator(Fb)
+        k = rng.randrange(1 << 254)
+        p_host = g.scalar_mul(k)
+        m_host = e_host.mul(g)
+    finally:
+        os.environ.pop("MIRA_PAIRING")
+
+    assert pairing(a, b) == e_host
+    assert gt_pow_native(g, k) == p_host
+    assert gt_mul_native(e_host, g) == m_host

@@ -169,3 +169,14 @@ def inner_product_mont16(p: int, w_plain64: np.ndarray, v16: np.ndarray,
         _ptr32(v), n, nthreads, _ptr(out),
     )
     return u64_to_int(out)
+
+
+def from_mont16(p: int, mont16: np.ndarray, nthreads: int = 0) -> np.ndarray:
+    """(n, 16) Montgomery limb planes -> plain, fused native pass."""
+    lib = load()
+    a = np.ascontiguousarray(mont16, dtype=np.uint32)
+    out = np.empty_like(a)
+    lib.mira_mul_const_mont16(_ptr(int_to_64(p)), _ptr32(a),
+                              _ptr(int_to_64(1)), a.shape[0], nthreads,
+                              _ptr32(out))
+    return out

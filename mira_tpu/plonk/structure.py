@@ -279,21 +279,42 @@ class PlonkStructure:
         (reference plonk/mod.rs:563-589)."""
         p = self.modulus
         nrow = 1 << self.k
-        w0 = self.lf.decode(W.W[0])[: nrow * self.num_advice_columns]
-        Z = [v % p for v in U.instance] + w0
         # P is a permutation with unit entries (one (i, j, 1) per row, see
         # table/circuit.py permutation_matrix), so P*Z = Z reduces to
-        # Z[i] == Z[j] on the non-identity entries — no row accumulation
-        # (the dense mul-mod loop was the dominant verify cost)
-        mismatch = 0
-        general = []
-        for (i, j, v) in self.permutation_matrix:
-            if v == 1:
-                if i != j and Z[i] != Z[j]:
-                    mismatch += 1
+        # Z[i] == Z[j] on the non-identity entries — compared directly on
+        # the plain limb planes, no python-int decode of the witness
+        general = [e for e in self.permutation_matrix if e[2] != 1]
+        if not general:
+            idx = getattr(self, "_perm_idx", None)
+            if idx is None:
+                pairs = [
+                    (i, j) for (i, j, v) in self.permutation_matrix if i != j
+                ]
+                idx = (
+                    np.asarray([i for i, _ in pairs], dtype=np.int64),
+                    np.asarray([j for _, j in pairs], dtype=np.int64),
+                )
+                object.__setattr__(self, "_perm_idx", idx)
+            try:
+                from ..fields.native64 import available as _n64_ok
+                from ..fields.native64 import from_mont16
+            except ImportError:  # pragma: no cover
+                _n64_ok = lambda: False
+            w_mont = np.asarray(W.W[0])[: nrow * self.num_advice_columns]
+            if _n64_ok():
+                w_plain = from_mont16(p, w_mont)
             else:
-                general.append((i, j, v))
-        if general:  # non-unit entries: fall back to the dense check
+                w_plain = np.asarray(self.lf.to_plain(w_mont))
+            from ..fields.limbs import ints_to_limbs
+
+            ZR = np.concatenate(
+                [ints_to_limbs([v % p for v in U.instance]), w_plain], axis=0
+            )
+            i_idx, j_idx = idx
+            mismatch = int(np.sum(~np.all(ZR[i_idx] == ZR[j_idx], axis=1)))
+        else:  # non-unit entries: dense python fallback
+            w0 = self.lf.decode(W.W[0])[: nrow * self.num_advice_columns]
+            Z = [v % p for v in U.instance] + w0
             y = [0] * len(Z)
             for (i, j, v) in self.permutation_matrix:
                 y[i] = (y[i] + v * Z[j]) % p

@@ -262,3 +262,54 @@ def test_cross_terms_numeric_vs_symbolic(assume_sat, fold_impl, monkeypatch):
         )
         got = S.lf.decode(numeric)
         assert got == want, f"cross term {k} mismatch"
+
+
+def test_is_sat_perm_detects_broken_copy():
+    """Negative case for the vectorized permutation check: corrupting one
+    side of a copy constraint must raise (structure.py is_sat_perm)."""
+    import numpy as np
+
+    from mira_tpu.table.circuit import RegionCtx, TableData
+
+    class CopyCircuit:
+        """a * b = c with c copy-constrained into another advice cell."""
+
+        def configure(self, cs):
+            a, b, c = (cs.advice_column() for _ in range(3))
+            cs.enable_equality(c)
+            cs.create_gate("mul", [cs.query(a) * cs.query(b) - cs.query(c)])
+            return (a, b, c)
+
+        def synthesize(self, config, ctx: RegionCtx):
+            a, b, c = config
+            va = ctx.table.assign_advice(a, 0, 3)
+            vb = ctx.table.assign_advice(b, 0, 5)
+            vc = ctx.table.assign_advice(c, 0, 15)
+            vc2 = ctx.table.assign_advice(c, 1, 15)
+            ctx.table.copy(vc.cell, vc2.cell)
+
+    runner = CircuitRunner(K, CopyCircuit(), [], BN254_G1)
+    S = runner.collect_structure()
+    advice = runner.collect_witness()
+    ck = CommitmentKey.setup(BN254_G1, K + 2, b"permtest")
+    trace = S.run_sps_protocol(ck, [], advice, ro())
+    rel = trace.to_relax(S.k)
+    S.is_sat_perm(rel.U, rel.W)  # honest witness passes
+
+    # pick a non-identity permutation entry inside the advice region
+    num_io = S.num_io
+    entry = next(
+        (i, j)
+        for (i, j, v) in S.permutation_matrix
+        if i != j and i >= num_io and j >= num_io
+    )
+    flat = entry[0] - num_io
+    W0 = np.asarray(rel.W.W[0]).copy()
+    orig = S.lf.decode(W0[flat : flat + 1])[0]
+    W0[flat] = np.asarray(S.lf.encode([(orig + 1) % S.modulus]))[0]
+
+    import jax.numpy as jnp
+
+    rel.W.W[0] = jnp.asarray(W0)
+    with pytest.raises(SatError):
+        S.is_sat_perm(rel.U, rel.W)

@@ -182,18 +182,21 @@ class LimbField:
 
     def encode_padded(self, cols, nrow: int) -> jnp.ndarray:
         """Ragged columns -> concatenated (len(cols)*nrow, 16) Montgomery
-        array with zero tails.  Only the used prefixes are converted
+        array with zero tails.  Only the nonzero prefixes are converted
         (Montgomery zero is zero), so sparse tables (large k, short
-        circuits) skip the padding entirely."""
+        circuits) skip both the padding and zero tails entirely."""
+        from ..table.packed import _last_nonzero
+
         total = len(cols) * nrow
-        used = [v for c in cols for v in c]
+        lasts = [_last_nonzero(c) for c in cols]
+        used = [v for c, last in zip(cols, lasts) for v in c[:last]]
         out = np.zeros((total, NUM_LIMBS), dtype=np.uint32)
         if used:
             enc = np.asarray(self.encode(used))
             off = 0
-            for i, c in enumerate(cols):
-                out[i * nrow : i * nrow + len(c)] = enc[off : off + len(c)]
-                off += len(c)
+            for i, (c, last) in enumerate(zip(cols, lasts)):
+                out[i * nrow : i * nrow + last] = enc[off : off + last]
+                off += last
         return jnp.asarray(out)
 
     def decode(self, arr) -> list:

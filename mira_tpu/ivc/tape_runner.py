@@ -239,16 +239,15 @@ def _replay_packed(captured: CapturedSynthesis, inputs: List[int]):
 
     nrow = 1 << captured.k
     if captured.packed_template is None:
-        captured.packed_template = pack_int_cols(
-            captured.advice_template, nrow
-        ).raw16
+        raw = pack_int_cols(captured.advice_template, nrow).raw16
+        captured.packed_template = raw
         # nonzero extent: template values + every replayable write row
-        used = 0
-        for col in captured.advice_template:
-            for r in range(len(col) - 1, -1, -1):
-                if col[r] != 0:
-                    used = max(used, r + 1)
-                    break
+        nz_rows = np.nonzero(
+            raw.reshape(len(captured.advice_template), nrow, -1).any(
+                axis=(0, 2)
+            )
+        )[0]
+        used = int(nz_rows[-1]) + 1 if nz_rows.size else 0
         for _col, row, _slot in captured.tape.writes:
             if row >= used:
                 used = row + 1

@@ -211,12 +211,21 @@ def setup(r1cs: R1CS, rng: random.Random) -> ProvingKey:
 
 
 def _msm_g1(scalars: List[int], points: List[AffinePoint]) -> AffinePoint:
-    from ..curves.host import msm_host_pippenger
-
     pairs = [(s, pt) for s, pt in zip(scalars, points) if s % FR]
     if not pairs:
         return AffinePoint.identity(BN254_G1)
-    return msm_host_pippenger([s for s, _ in pairs], [pt for _, pt in pairs])
+    sc = [s for s, _ in pairs]
+    pts = [pt for _, pt in pairs]
+    try:
+        from ..ops.native_msm import available, msm_native
+
+        if available() and len(sc) >= 64:
+            return msm_native(sc, pts)
+    except ImportError:  # pragma: no cover
+        pass
+    from ..curves.host import msm_host_pippenger
+
+    return msm_host_pippenger(sc, pts)
 
 
 def _h_coefficients(r1cs: R1CS, z: List[int]) -> List[int]:

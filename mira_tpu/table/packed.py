@@ -70,12 +70,29 @@ class PackedWitness:
         ]
 
 
+def _last_nonzero(col: List[int]) -> int:
+    """Index-after of the last nonzero entry, scanning coarse chunks with
+    C-speed any() first (tall sparse tables: 2^22 rows, ~1% used)."""
+    last = len(col)
+    chunk = 4096
+    while last > 0:
+        lo = max(0, last - chunk)
+        if any(col[lo:last]):
+            for i in range(last - 1, lo - 1, -1):
+                if col[i]:
+                    return i + 1
+        last = lo
+    return 0
+
+
 def pack_int_cols(cols: List[List[int]], nrow: int) -> PackedWitness:
-    """Python-int columns -> PackedWitness (one-time, at tape capture)."""
+    """Python-int columns -> PackedWitness (one-time, at tape capture);
+    only the nonzero prefixes are converted."""
     from ..fields.limbs import ints_to_limbs
 
     raw = np.zeros((len(cols) * nrow, NUM_LIMBS), dtype=np.uint32)
     for c, col in enumerate(cols):
-        if col:
-            raw[c * nrow : c * nrow + len(col)] = ints_to_limbs(col)
+        last = _last_nonzero(col)
+        if last:
+            raw[c * nrow : c * nrow + last] = ints_to_limbs(col[:last])
     return PackedWitness(raw, len(cols), nrow)

@@ -283,6 +283,52 @@ class TField:
         Z3 = self.double(self.mul(Y, Z))
         return (X3, Y3, Z3)
 
+    def jac_add_incomplete(self, p, q):
+        """Jacobian add WITHOUT the embedded doubling branch: ~16 field muls
+        instead of jac_add's ~23 (which pays a full jac_double for the
+        P == Q completeness case).  Infinity operands and P == -Q are still
+        handled exactly; P == Q (both non-infinity) yields the point at
+        infinity instead of 2P.
+
+        Safe wherever operands being equal non-infinity points would imply
+        a discrete-log relation between independent generators — Pippenger
+        bucket accumulation, lane reductions, Horner combines (probability
+        ~2^-254 for honest inputs; an adversarial collision only corrupts
+        the prover's own commitment, never soundness)."""
+        X1, Y1, Z1 = p
+        X2, Y2, Z2 = q
+        Z1Z1 = self.square(Z1)
+        Z2Z2 = self.square(Z2)
+        U1 = self.mul(X1, Z2Z2)
+        U2 = self.mul(X2, Z1Z1)
+        S1 = self.mul(self.mul(Y1, Z2), Z2Z2)
+        S2 = self.mul(self.mul(Y2, Z1), Z1Z1)
+        H = self.sub(U2, U1)
+        R = self.sub(S2, S1)
+        HH = self.square(H)
+        HHH = self.mul(H, HH)
+        V = self.mul(U1, HH)
+        X3 = self.sub(self.sub(self.square(R), HHH), self.double(V))
+        Y3 = self.sub(self.mul(R, self.sub(V, X3)), self.mul(S1, HHH))
+        Z3 = self.mul(self.mul(Z1, Z2), H)
+
+        p_inf = self.is_zero(Z1)
+        q_inf = self.is_zero(Z2)
+        h_zero = self.is_zero(H)
+        not_inf = (1 - p_inf) * (1 - q_inf)
+        # H == 0 (opposite OR the unsupported equal case) -> infinity
+        to_inf = h_zero * not_inf
+        B = X3.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = self.one_tile(B)
+        X3 = self.select(to_inf, zero, X3)
+        Y3 = self.select(to_inf, one, Y3)
+        Z3 = self.select(to_inf, zero, Z3)
+        X3 = self.select(p_inf, X2, self.select(q_inf, X1, X3))
+        Y3 = self.select(p_inf, Y2, self.select(q_inf, Y1, Y3))
+        Z3 = self.select(p_inf, Z2, self.select(q_inf, Z1, Z3))
+        return (X3, Y3, Z3)
+
     def jac_add(self, p, q):
         X1, Y1, Z1 = p
         X2, Y2, Z2 = q

@@ -172,21 +172,28 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
         pt = (x_ref[...], y_ref[...], z_ref[...])
         # table[d] = (d+1)P via a chain of adds in scratch: the fori body is
         # one jac_add, keeping the Mosaic program small (unrolling 14 point
-        # ops pushed compile time past 10 min)
+        # ops pushed compile time past 10 min).  All adds after the explicit
+        # 2P = double(P) are INCOMPLETE (dP + P with 2 <= d+1 <= 15 can never
+        # be a doubling or an inverse pair) — ~16 field muls each instead of
+        # the complete add's ~23.
         tabX[pl.ds(0, 1)] = pt[0][None]
         tabY[pl.ds(0, 1)] = pt[1][None]
         tabZ[pl.ds(0, 1)] = pt[2][None]
+        dX, dY, dZ = tf.jac_double(pt)
+        tabX[pl.ds(1, 1)] = dX[None]
+        tabY[pl.ds(1, 1)] = dY[None]
+        tabZ[pl.ds(1, 1)] = dZ[None]
 
         def tbody(d, carry):
             prev = (tabX[pl.ds(d - 1, 1)][0], tabY[pl.ds(d - 1, 1)][0],
                     tabZ[pl.ds(d - 1, 1)][0])
-            nX, nY, nZ = tf.jac_add(prev, pt)
+            nX, nY, nZ = tf.jac_add_incomplete(prev, pt)
             tabX[pl.ds(d, 1)] = nX[None]
             tabY[pl.ds(d, 1)] = nY[None]
             tabZ[pl.ds(d, 1)] = nZ[None]
             return carry
 
-        jax.lax.fori_loop(1, ndig, tbody, 0)
+        jax.lax.fori_loop(2, ndig, tbody, 0)
 
         def wbody(w, carry):
             bit = w * WINDOW
@@ -200,7 +207,7 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
                 selZ = tf.select(m, tabZ[d], selZ)
             acc = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
                    accZ[pl.ds(w, 1)][0])
-            nX, nY, nZ = tf.jac_add(acc, (selX, selY, selZ))
+            nX, nY, nZ = tf.jac_add_incomplete(acc, (selX, selY, selZ))
             accX[pl.ds(w, 1)] = nX[None]
             accY[pl.ds(w, 1)] = nY[None]
             accZ[pl.ds(w, 1)] = nZ[None]
@@ -218,7 +225,7 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
                 s = B // 2
                 while s >= 1:
                     rolled = tuple(_lane_roll(c, s) for c in acc)
-                    acc = tf.jac_add(acc, rolled)
+                    acc = tf.jac_add_incomplete(acc, rolled)
                     s //= 2
                 accX[pl.ds(w, 1)] = acc[0][None]
                 accY[pl.ds(w, 1)] = acc[1][None]
@@ -237,7 +244,7 @@ def _msm_pallas_pippenger_jit(modulus: int, num_bits: int, block: int,
                     S = tf.jac_double(S)
                 Ww = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
                       accZ[pl.ds(w, 1)][0])
-                return tf.jac_add(S, Ww)
+                return tf.jac_add_incomplete(S, Ww)
 
             S = jax.lax.fori_loop(0, nwin - 1, hbody, S0)
             ox_ref[...] = tf.canon(S[0])

@@ -5,11 +5,14 @@ XOF seeded with the label emits 32 uniform bytes per generator
 (commitment.rs:58-66), each mapped through the RFC 9380 SVDW random-oracle
 construction that halo2curves exposes as
 `hash_to_curve("from_uniform_bytes")` (commitment.rs:67) — see
-curves/svdw.py.  expand_message_xmd matches the RFC test vectors; the DST
-string follows halo2curves' naming convention (reconstructed without source
-access — the only remaining byte-parity caveat).  Set MIRA_HTC=xof to fall
-back to the round-1 SHA3 try-and-increment map (old cached keys).
+curves/svdw.py.  Setup runs through the threaded native generator
+(native/keygen.cpp — the role rayon plays at commitment.rs:66), making
+real binding keys at k>=20 take seconds instead of hours; the python
+svdw path remains as the bit-parity oracle and no-toolchain fallback.
+Set MIRA_HTC=xof for the round-1 SHA3 try-and-increment map (old caches).
 
+The key is array-backed: (n, 2, 16)-limb raw affine coordinates, with
+host AffinePoint objects materialized lazily only for host-MSM fallbacks.
 Commitments run through the device MSM; keys are cached on disk as .npy
 (the reference caches raw-memory dumps, commitment.rs:96-167).
 """
@@ -26,7 +29,7 @@ import numpy as np
 from ..curves.host import AffinePoint, CurveParams
 from ..curves.jax_curve import jacobian_ops
 from ..fields.host import field
-from ..fields.limbs import NUM_LIMBS, ints_to_limbs, limbs_to_ints
+from ..fields.limbs import NUM_LIMBS, ints_to_limbs, limb_field, limbs_to_ints
 from .msm import encode_scalars, msm
 
 
@@ -57,25 +60,88 @@ def _map_to_curve_xof(curve: CurveParams, uniform_bytes: bytes) -> AffinePoint:
         ctr += 1
 
 
+def _validate_limbs_on_curve(curve: CurveParams, limbs: np.ndarray):
+    """Raise if any (x, y) pair is off-curve. Native batch check when possible."""
+    from .native_keygen import limbs16_to_u64x4, on_curve_check_native
+
+    bad = on_curve_check_native(limbs16_to_u64x4(limbs), curve)
+    if bad is not None:
+        if bad:
+            raise ValueError(f"corrupted commitment key cache: {bad} points off-curve")
+        return
+    F = field(curve.base_modulus)
+    xs = limbs_to_ints(limbs[:, 0])
+    ys = limbs_to_ints(limbs[:, 1])
+    for x, y in zip(xs, ys):
+        if not AffinePoint(curve, F(x), F(y)).is_on_curve():
+            raise ValueError("corrupted commitment key cache")
+
+
 class CommitmentKey:
-    def __init__(self, curve: CurveParams, points: List[AffinePoint]):
+    def __init__(self, curve: CurveParams, limbs: np.ndarray):
+        """limbs: (n, 2, 16) uint32 raw (non-Montgomery) affine coordinates."""
         self.curve = curve
-        self.points = points
-        ops = jacobian_ops(curve.name)
-        self._enc = ops.encode_points(points)  # (X, Y, Z) Montgomery limb arrays
+        self._limbs = np.ascontiguousarray(limbs, dtype=np.uint32)
+        self._points: Optional[List[AffinePoint]] = None
+        self._enc_cache = None
 
     def __len__(self):
-        return len(self.points)
+        return self._limbs.shape[0]
+
+    @property
+    def points(self) -> List[AffinePoint]:
+        """Host AffinePoint list, materialized lazily (host-MSM fallbacks only)."""
+        if self._points is None:
+            F = field(self.curve.base_modulus)
+            xs = limbs_to_ints(self._limbs[:, 0])
+            ys = limbs_to_ints(self._limbs[:, 1])
+            self._points = [
+                AffinePoint(self.curve, F(x), F(y)) for x, y in zip(xs, ys)
+            ]
+        return self._points
+
+    @property
+    def _enc(self):
+        """(X, Y, Z) Montgomery device limb arrays (Jacobian, Z=1)."""
+        if self._enc_cache is None:
+            lf = limb_field(self.curve.base_modulus)
+            n = len(self)
+            X = lf.encode_raw16(self._limbs[:, 0])
+            Y = lf.encode_raw16(self._limbs[:, 1])
+            Z = jnp.broadcast_to(
+                jnp.asarray(lf.one_mont_np, dtype=jnp.uint32), (n, NUM_LIMBS)
+            )
+            self._enc_cache = (X, Y, Z)
+        return self._enc_cache
+
+    @classmethod
+    def from_points(cls, curve: CurveParams, points: List[AffinePoint]):
+        limbs = np.stack(
+            [
+                ints_to_limbs([p.x.v for p in points]),
+                ints_to_limbs([p.y.v for p in points]),
+            ],
+            axis=1,
+        )
+        key = cls(curve, limbs)
+        key._points = list(points)
+        return key
 
     @classmethod
     def setup(cls, curve: CurveParams, k: int, label: bytes = b"") -> "CommitmentKey":
         n = 1 << k
+        if os.environ.get("MIRA_HTC", "svdw") == "svdw":
+            from .native_keygen import keygen_native, u64x4_to_limbs16
+
+            xy = keygen_native(curve, n, label)
+            if xy is not None:
+                return cls(curve, u64x4_to_limbs16(xy))
         xof = hashlib.shake_256(label)
         stream = xof.digest(32 * n)
         points = [
             map_to_curve(curve, stream[32 * i : 32 * (i + 1)]) for i in range(n)
         ]
-        return cls(curve, points)
+        return cls.from_points(curve, points)
 
     @classmethod
     def load_or_setup_cache(
@@ -85,34 +151,20 @@ class CommitmentKey:
         path = os.path.join(cache_dir, curve.name, label, f"{k}-{htc}.npy"
                             if htc != "xof" else f"{k}.npy")
         if os.path.exists(path):
-            arr = np.load(path)  # (n, 2) object? store as limb uint32 (n,2,16)
-            F = field(curve.base_modulus)
-            xs = limbs_to_ints(arr[:, 0])
-            ys = limbs_to_ints(arr[:, 1])
-            points = []
-            for x, y in zip(xs, ys):
-                p = AffinePoint(curve, F(x), F(y))
-                assert p.is_on_curve(), "corrupted commitment key cache"
-                points.append(p)
-            return cls(curve, points)
+            arr = np.load(path)  # (n, 2, 16) uint32 raw limbs
+            _validate_limbs_on_curve(curve, arr)
+            return cls(curve, arr)
         key = cls.setup(curve, k, label.encode())
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        arr = np.stack(
-            [
-                ints_to_limbs([p.x.v for p in key.points]),
-                ints_to_limbs([p.y.v for p in key.points]),
-            ],
-            axis=1,
-        )
-        np.save(path, arr)
+        np.save(path, key._limbs)
         return key
 
     # -- commitment ----------------------------------------------------------
     def commit_ints(self, values: List[int]) -> AffinePoint:
         """Commit to raw scalar ints (host API)."""
-        if len(values) > len(self.points):
+        if len(values) > len(self):
             raise ValueError(
-                f"input too long: {len(values)} > key size {len(self.points)}"
+                f"input too long: {len(values)} > key size {len(self)}"
             )
         sc = encode_scalars(values, self.curve.scalar_modulus)
         return self._commit_plain_limbs(sc)
@@ -126,10 +178,8 @@ class CommitmentKey:
         XLA:CPU emulation.
         """
         n = witness_mont.shape[0]
-        if n > len(self.points):
-            raise ValueError(f"input too long: {n} > key size {len(self.points)}")
-        from ..fields.limbs import limb_field
-
+        if n > len(self):
+            raise ValueError(f"input too long: {n} > key size {len(self)}")
         lf = limb_field(self.curve.scalar_modulus)
         backend = os.environ.get("MIRA_MSM", "auto")
         if backend != "device":
@@ -152,9 +202,9 @@ class CommitmentKey:
         # pad to the next power of two with zero scalars: collapses the set of
         # distinct MSM shapes (and therefore XLA compiles) to log-many
         n_pad = 1 << max((n - 1).bit_length(), 0)
-        n_pad = min(max(n_pad, 1), len(self.points))
+        n_pad = min(max(n_pad, 1), len(self))
         if n_pad < n:
-            n_pad = len(self.points)
+            n_pad = len(self)
         if n_pad > n:
             pad = np.zeros((n_pad - n, scalars.shape[1]), dtype=np.uint32)
             scalars = jnp.concatenate([scalars, jnp.asarray(pad)], axis=0)

@@ -1,0 +1,80 @@
+"""Commitment-key setup: native keygen parity + cache validation.
+
+Covers the reference's setup/cache semantics
+(/root/reference/src/commitment.rs:39-167): XOF-derived generators,
+load-or-setup disk cache, on-curve revalidation on load.
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from mira_tpu.curves.host import BN254_G1, GRUMPKIN, AffinePoint
+from mira_tpu.ops.commitment import CommitmentKey, map_to_curve
+from mira_tpu.ops.native_keygen import (
+    available,
+    keygen_native,
+    limbs16_to_u64x4,
+    on_curve_check_native,
+    u64x4_to_limbs16,
+)
+
+
+@pytest.mark.parametrize("curve", [BN254_G1, GRUMPKIN], ids=lambda c: c.name)
+def test_native_keygen_matches_python_svdw(curve):
+    if not available():
+        pytest.skip("no native toolchain")
+    n = 8
+    label = b"paritytest"
+    xy = keygen_native(curve, n, label)
+    assert xy is not None and xy.shape == (n, 2, 4)
+    stream = hashlib.shake_256(label).digest(32 * n)
+    for i in range(n):
+        p = map_to_curve(curve, stream[32 * i : 32 * (i + 1)])
+        x = int.from_bytes(np.ascontiguousarray(xy[i, 0]).tobytes(), "little")
+        y = int.from_bytes(np.ascontiguousarray(xy[i, 1]).tobytes(), "little")
+        assert (p.x.v, p.y.v) == (x, y), f"point {i} diverges from python svdw"
+    assert on_curve_check_native(xy, curve) == 0
+
+
+def test_limb_u64_roundtrip():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 63, size=(5, 2, 4), dtype=np.uint64)
+    assert np.array_equal(limbs16_to_u64x4(u64x4_to_limbs16(a)), a)
+
+
+def test_setup_array_backed_and_lazy_points():
+    ck = CommitmentKey.setup(BN254_G1, 3, b"t")
+    assert len(ck) == 8
+    assert ck._points is None  # not materialized until asked
+    pts = ck.points
+    assert all(isinstance(p, AffinePoint) and p.is_on_curve() for p in pts)
+
+
+def test_cache_roundtrip_and_corruption_detection(tmp_path):
+    d = str(tmp_path)
+    ck = CommitmentKey.load_or_setup_cache(BN254_G1, 3, "cachetest", cache_dir=d)
+    ck2 = CommitmentKey.load_or_setup_cache(BN254_G1, 3, "cachetest", cache_dir=d)
+    assert np.array_equal(ck._limbs, ck2._limbs)
+    # corrupt one limb and expect the on-curve validation to fire
+    import glob
+    import os
+
+    path = glob.glob(os.path.join(d, "**", "*.npy"), recursive=True)[0]
+    arr = np.load(path)
+    arr[0, 0, 0] ^= 1
+    np.save(path, arr)
+    with pytest.raises(ValueError, match="corrupted"):
+        CommitmentKey.load_or_setup_cache(BN254_G1, 3, "cachetest", cache_dir=d)
+
+
+def test_commit_ints_matches_naive():
+    ck = CommitmentKey.setup(BN254_G1, 2, b"commit")
+    vals = [5, 7, 11, 13]
+    got = ck.commit_ints(vals)
+    want = None
+    for v, p in zip(vals, ck.points):
+        term = p.scalar_mul(v)
+        want = term if want is None else want.add(term)
+    assert got.x.v == want.x.v and got.y.v == want.y.v

@@ -3,10 +3,10 @@
 .PHONY: test test-all bench lint snarkstar tensorstar trivial
 
 test:
-	python -m pytest tests/ -x -q
+	python -m pytest tests/ -q -n 4
 
 test-all:
-	MIRA_RUN_SLOW=1 python -m pytest tests/ -q
+	MIRA_RUN_SLOW=1 python -m pytest tests/ -q -n 4
 
 bench:
 	python bench.py

@@ -63,8 +63,60 @@ def main():
 
     backend = jax.default_backend()
     log_n = int(os.environ.get("MIRA_BENCH_LOG_N", "16" if backend != "cpu" else "10"))
-    which = os.environ.get("MIRA_BENCH_METRIC", "msm")
+    which = os.environ.get("MIRA_BENCH_METRIC", "ivc")
     n = 1 << log_n
+
+    if which == "ivc":
+        # North-star metric (VERDICT r1 item 5): IVC fold-step latency with a
+        # REAL (binding) commitment key — the analog of the reference's
+        # criterion fold_1_step/fold_2_step benches
+        # (/root/reference/benches/poseidon/main.rs:161-199).  Reports the
+        # steady-state (last) step; verify correctness is covered by
+        # tests/test_ivc.py and the workload drives, not timed here (the
+        # reference's bench folds without deciding too).  vs_baseline is
+        # measured against the round-1 CPU/mock-key 7.2 s/step record
+        # (BASELINE.md) — >1.0 means beating it.
+        try:
+            k = int(os.environ.get("MIRA_BENCH_IVC_K", "17"))
+            steps = int(os.environ.get("MIRA_BENCH_IVC_STEPS", "3"))
+            from mira_tpu.curves.host import BN254_G1, GRUMPKIN
+            from mira_tpu.ivc.ivc import IVC
+            from mira_tpu.ivc.public_params import CircuitSide, PublicParams
+            from mira_tpu.ivc.step_circuit import TrivialCircuit
+            from mira_tpu.ops.commitment import CommitmentKey
+            from mira_tpu.workloads.poseidon import PoseidonStepCircuit
+
+            ck1 = CommitmentKey.load_or_setup_cache(BN254_G1, k + 4, "bn256")
+            ck2 = CommitmentKey.load_or_setup_cache(GRUMPKIN, k + 4, "grumpkin")
+            sc1 = PoseidonStepCircuit(BN254_G1.scalar_modulus, 1)
+            sc2 = TrivialCircuit(arity=1)
+            pp = PublicParams(
+                CircuitSide(sc1, ck1, k), CircuitSide(sc2, ck2, k),
+                BN254_G1, GRUMPKIN,
+            )
+            ivc = IVC(pp, sc1, [0], sc2, [0])
+            step_secs = []
+            for _ in range(steps):
+                t0 = time.perf_counter()
+                ivc.fold_step()
+                step_secs.append(time.perf_counter() - t0)
+            value = step_secs[-1]
+            print(
+                json.dumps(
+                    {
+                        "metric": f"ivc_fold_step_sec@k{k}/{backend}",
+                        "value": round(value, 2),
+                        "unit": "s/step",
+                        "vs_baseline": round(7.2 / value, 4),
+                        "all_steps": [round(s, 1) for s in step_secs],
+                    }
+                )
+            )
+            return
+        except Exception as e:  # fall back to the kernel metric
+            print(f"ivc bench failed ({type(e).__name__}: {e}); "
+                  "falling back to msm", file=sys.stderr)
+            which = "msm"
 
     import random
 

@@ -173,6 +173,7 @@ class VanillaFS:
         W2: PlonkWitness,
         rng=None,
         assume_sat: bool = True,
+        mesh=None,
     ):
         rng = rng or random.Random(0xC405)
         p = S.modulus
@@ -191,7 +192,34 @@ class VanillaFS:
 
         import jax
 
-        impl = os.environ.get("MIRA_FOLD_EVAL")
+        W1_W, W2_W, W1_E = W1.W, W2.W, W1.E
+        if mesh is not None:
+            # Multi-chip: shard the row-parallel evaluation data across the
+            # mesh and let GSPMD insert the collectives (rotations become
+            # collective-permutes); commits ride the sharded MSM.  This
+            # distributes the reference's rayon row loop
+            # (/root/reference/src/nifs/vanilla/mod.rs:109-120) over chips.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import AXIS
+
+            ndev = mesh.devices.size
+            sh = NamedSharding(mesh, PartitionSpec(AXIS))
+
+            def put(a):
+                return (
+                    jax.device_put(a, sh) if a.shape[0] % ndev == 0 else a
+                )
+
+            W1_W = [put(w) for w in W1_W]
+            W2_W = [put(w) for w in W2_W]
+            W1_E = put(W1_E)
+            # the Pallas sweep and the native row VM are single-device
+            # programs; the GSPMD-partitionable column evaluator is the
+            # multi-chip path
+            impl = "xla"
+        else:
+            impl = os.environ.get("MIRA_FOLD_EVAL")
         if impl is None:
             # fused Pallas sweep on TPU (all fold points in one pass over
             # the witness columns); native C++ row VM on CPU hosts
@@ -215,13 +243,13 @@ class VanillaFS:
 
             nev = S._native_fold_evaluator()
             with span("cross_term_eval"):
-                outs64 = nev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2, as64=True)
+                outs64 = nev.fold_eval_multi(W1_W, W2_W, js, ch1, ch2, as64=True)
             nrow = outs64.shape[1]
             if assume_sat and d >= 1:
                 # T_k = sum_j invM[k][j]*(Q_j - E) == lincomb over
                 # [Q_1..Q_{d-1}, E] with the E coefficient folded in
                 invM = _inv_vandermonde_inner(p, d)
-                E64 = limbs16_to_64(np.asarray(W1.E))
+                E64 = limbs16_to_64(np.asarray(W1_E))
                 ins = np.concatenate([outs64, E64[None]], axis=0)
                 coefs = [
                     list(invM[k]) + [(-sum(invM[k])) % p]
@@ -244,7 +272,7 @@ class VanillaFS:
         else:
             if impl == "pallas" and js:
                 pev = S._pallas_fold_evaluator()
-                outs = pev.fold_eval_multi(W1.W, W2.W, js, ch1, ch2)
+                outs = pev.fold_eval_multi(W1_W, W2_W, js, ch1, ch2)
                 evals = [outs[i] for i in range(len(js))]
             else:
                 ev = S._evaluator("homogeneous")
@@ -253,19 +281,19 @@ class VanillaFS:
                     jm = lf.const(j, (1,))
                     chj = [(a + j * b) % p for a, b in zip(ch1, ch2)]
                     chj_enc = lf.encode(chj) if chj else lf.zero((0,))
-                    return ev.fold_eval(W1.W, W2.W, jm, chj_enc)
+                    return ev.fold_eval(W1_W, W2_W, jm, chj_enc)
 
                 evals = [eval_at(j) for j in js]
 
             if assume_sat and d >= 1:
                 cross_terms = list(
-                    _combine_slices_sat_jit(p, d)(tuple(evals), W1.E)
+                    _combine_slices_sat_jit(p, d)(tuple(evals), W1_E)
                 )
             else:
                 cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         with span("cross_term_commit"):
-            g1_commits = [ck.commit_device(t) for t in cross_terms]
+            g1_commits = [ck.commit_device(t, mesh=mesh) for t in cross_terms]
         ctx = getattr(S, "groth16_ctx", None)
         if ctx is not None:
             # real bilinear pairing cross terms (snark/groth16.py) — the
@@ -321,12 +349,13 @@ class VanillaFS:
         accumulator: RelaxedPlonkTrace,
         incoming: PlonkTrace,
         rng=None,
+        mesh=None,
     ):
         U1, W1 = accumulator.U, accumulator.W
         U2, W2 = incoming.u, incoming.w
 
         cross_terms, (g1_commits, gt_commits) = VanillaFS.commit_cross_terms(
-            ck, pp.S, U1, W1, U2, W2, rng=rng
+            ck, pp.S, U1, W1, U2, W2, rng=rng, mesh=mesh
         )
         r = VanillaFS.generate_challenge(
             pp.pp_digest, ro_acc, U1, U2, g1_commits, gt_commits

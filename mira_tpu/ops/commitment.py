@@ -84,6 +84,8 @@ class CommitmentKey:
         self._limbs = np.ascontiguousarray(limbs, dtype=np.uint32)
         self._points: Optional[List[AffinePoint]] = None
         self._enc_cache = None
+        self._fb_tables = {}  # MSM width -> (window, device table)
+        self._fb_bytes = 0
 
     def __len__(self):
         return self._limbs.shape[0]
@@ -169,18 +171,41 @@ class CommitmentKey:
         sc = encode_scalars(values, self.curve.scalar_modulus)
         return self._commit_plain_limbs(sc)
 
-    def commit_device(self, witness_mont) -> AffinePoint:
+    def commit_device(self, witness_mont, mesh=None) -> AffinePoint:
         """Commit to a device Montgomery limb vector (the hot path).
 
         Backend dispatch: the device MSM runs on TPU (or when MIRA_MSM=device);
         on CPU hosts large MSMs fall back to the python Pippenger -- the
         lane-parallel device MSM is built for accelerator throughput, not
         XLA:CPU emulation.
+
+        With a mesh, points and scalars are sharded across the devices and
+        the per-shard partial MSMs combine over ICI (parallel/msm.py) — the
+        multi-chip analog of the reference's rayon'd best_multiexp
+        (/root/reference/src/commitment.rs:78-87).
         """
         n = witness_mont.shape[0]
         if n > len(self):
             raise ValueError(f"input too long: {n} > key size {len(self)}")
         lf = limb_field(self.curve.scalar_modulus)
+        if mesh is not None:
+            import jax
+
+            from ..parallel.msm import sharded_msm
+
+            ndev = mesh.devices.size
+            scalars = lf.to_plain(witness_mont)
+            n_pad = max(1 << max((n - 1).bit_length(), 0), ndev)
+            n_pad = min(n_pad, len(self))
+            if n_pad < n:
+                n_pad = len(self)
+            if n_pad > n:
+                pad = np.zeros((n_pad - n, NUM_LIMBS), dtype=np.uint32)
+                scalars = jnp.concatenate([scalars, jnp.asarray(pad)], axis=0)
+            pts = tuple(c[:n_pad] for c in self._enc)
+            out = sharded_msm(scalars, pts, self.curve, mesh)
+            ops = jacobian_ops(self.curve.name)
+            return ops.decode_points(tuple(c[None] for c in out))[0]
         backend = os.environ.get("MIRA_MSM", "auto")
         if backend != "device":
             import jax
@@ -220,9 +245,44 @@ class CommitmentKey:
             # trivial runtime)
             use_pallas = jax.default_backend() not in ("cpu",) and n_pad >= 4096
         if use_pallas:
-            from .pallas_msm import msm_pallas
+            tab = self._fixed_table(n_pad)
+            if tab is not None:
+                from .pallas_msm import msm_pallas_fixed
 
-            out = msm_pallas(scalars, pts, self.curve)
+                window, table = tab
+                out = msm_pallas_fixed(scalars, table, self.curve, window)
+            else:
+                from .pallas_msm import msm_pallas
+
+                out = msm_pallas(scalars, pts, self.curve)
         else:
             out = msm(scalars, pts, self.curve)
         return ops.decode_points(tuple(c[None] for c in out))[0]
+
+    def _fixed_table(self, n: int):
+        """Precomputed affine multiples table for MSM width n (device),
+        LRU-less cache bounded by MIRA_MSM_FB_BUDGET_MB of HBM.
+
+        Commitment MSMs hit the same log-many padded widths every fold step
+        (each SPS round size pads to a power of two), so the cache converges
+        after the first step and the one-time table build (~16 point-ops per
+        key point) amortizes to noise.  Returns None when disabled, the
+        width exceeds the budget, or the kernel would be mis-sized — callers
+        fall back to the per-point-table signed kernel."""
+        if os.environ.get("MIRA_MSM_FB", "1") == "0" or n % 256 != 0:
+            return None
+        hit = self._fb_tables.get(n)
+        if hit is not None:
+            return hit
+        from .pallas_msm import fixed_base_window, precompute_fixed_table
+
+        window = fixed_base_window(n)
+        nbytes = 2 * (1 << (window - 1)) * 64 * n
+        budget = int(os.environ.get("MIRA_MSM_FB_BUDGET_MB", "6144")) << 20
+        if self._fb_bytes + nbytes > budget:
+            return None
+        pts = tuple(c[:n] for c in self._enc)
+        table = precompute_fixed_table(pts, self.curve, window)
+        self._fb_tables[n] = (window, table)
+        self._fb_bytes += nbytes
+        return self._fb_tables[n]

@@ -44,7 +44,7 @@ class MockCommitmentKey:
             acc += w * v
         return self._gen.scalar_mul(acc % r)
 
-    def commit_device(self, witness_mont) -> AffinePoint:
+    def commit_device(self, witness_mont, mesh=None) -> AffinePoint:
         r = self.curve.scalar_modulus
         try:
             from ..fields.native64 import (

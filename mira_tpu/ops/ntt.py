@@ -165,6 +165,246 @@ def _ntt_pallas_jit(modulus: int, log_n: int, inverse: bool, block: int,
     return jax.jit(run)
 
 
+@lru_cache(maxsize=None)
+def _fourstep_consts(modulus: int, log_n: int, inverse: bool):
+    """Device constants for the four-step NTT: per-stage DIF/DIT twiddle
+    tables for the two sub-NTTs and the (n2, n1) mid twiddle matrix
+    w^(i1*k2) with its k2 axis pre-bit-reversed to match the DIF output
+    order.  The mid matrix is built on device in log(n1) doubling steps."""
+    lf = limb_field(modulus)
+    l1 = log_n // 2
+    l2 = log_n - l1
+    n1, n2 = 1 << l1, 1 << l2
+    w = get_omega(modulus, log_n, inverse)
+
+    def stage_tables(m, wm):
+        """Full-width per-stage twiddle tables, device (nstages, 16, m).
+
+        Stage with half h: tw at position j = wm^((j mod h) * m/(2h)) — the
+        value both members of a pair see (the kernel multiplies full-width
+        and keeps the product only at v positions).  Stages stored in DIF
+        order (h = m/2 .. 1); DIT consumes them reversed."""
+        stages = []
+        h = m // 2
+        while h >= 1:
+            step = m // (2 * h)
+            base = pow(wm, step, modulus)
+            tw = [1] * h
+            for j in range(1, h):
+                tw[j] = (tw[j - 1] * base) % modulus
+            stages.append(lf.encode([tw[j % h] for j in range(m)]).T)
+            h //= 2
+        return jnp.stack(stages, axis=0)  # (nstages, 16, m)
+
+    wn2 = pow(w, n1, modulus)  # root of the size-n2 sub-NTT
+    wn1 = pow(w, n2, modulus)  # root of the size-n1 sub-NTT
+    dif_tab = stage_tables(n2, wn2)
+    dit_tab = stage_tables(n1, wn1)
+
+    # mid twiddle M[p, i1] = w^(i1 * rev_l2(p)) — row bases host, powers of
+    # each row built on device by doubling along i1 (log(n1) dispatches)
+    rev2 = _bitrev_perm(l2)
+    bases = [pow(w, int(rev2[p]), modulus) for p in range(n2)]
+    bp = []  # bp[t][p] = bases[p]^(2^t)
+    cur = bases
+    for _ in range(l1):
+        bp.append(lf.encode(cur))  # (n2, 16)
+        cur = [(v * v) % modulus for v in cur]
+    T = lf.one((n2, 1))  # (n2, 1, 16)
+    for t in range(l1):
+        T = jnp.concatenate([T, lf.mul(T, bp[t][:, None, :])], axis=1)
+    # (n2, n1, 16) -> (16, n2, n1)
+    T = jnp.transpose(T, (2, 0, 1))
+    return dif_tab, dit_tab, jax.block_until_ready(T)
+
+
+@lru_cache(maxsize=None)
+def _fourstep_kernels(modulus: int, log_n: int, block: int, interpret: bool):
+    """The two fused multi-stage Pallas kernels of the four-step NTT.
+
+    kernel1: a VMEM tile (16, n2, B) runs ALL l2 DIF butterfly stages along
+    the sublane axis (static reshapes; natural input, bit-reversed output)
+    plus the mid twiddle multiply — one HBM read + one write for l2 stages,
+    vs one round-trip per stage in the old per-stage kernel (the 0.12x
+    bottleneck VERDICT r1 flagged; reference recursion: fft.rs:118-155).
+    kernel2 runs the l1 DIT stages (bit-reversed input, natural output).
+    The inter-kernel (transpose + double bit-reversal) is one XLA copy —
+    see _ntt_fourstep_jit."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .pallas_field import tfield
+
+    tf = tfield(modulus, interpret, lazy=True)
+    l1 = log_n // 2
+    l2 = log_n - l1
+    n1, n2 = 1 << l1, 1 << l2
+
+    CHUNK = 128  # sublane rows processed per inner step (bounds live VMEM)
+
+    def sub_ntt(a_ref, t_ref, bufs, m, dif: bool, finish):
+        """All log2(m) butterfly stages along axis 1 of a (16, m, B) ref.
+
+        Mosaic/VMEM-friendly formulation: NO reshapes, and the stage sweep is
+        CHUNKED — each fori step reads a (16, C, B) row window (plus its
+        partner window at distance h) from the source scratch and writes one
+        window to the destination scratch (ping-pong), so live vector state
+        stays ~10 * C*B*64B instead of full-width intermediates (full-width
+        muls at m=1024, B=128 spilled 116 MB of registers).  The u/v role of
+        each row is an iota/scalar-derived mask; the twiddle multiply runs
+        window-wide (~1 mul/element/stage).  `finish(chunk, c)` post-
+        processes each chunk of the LAST stage (mid-twiddle mul + canon)."""
+        bufA, bufB = bufs
+        nstages = m.bit_length() - 1
+        C = min(CHUNK, m)
+        nchunks = m // C
+        stage_ids = range(nstages)  # DIF storage order: h = m/2 .. 1
+        order = list(stage_ids) if dif else list(reversed(list(stage_ids)))
+
+        for si, s in enumerate(order):
+            h = m >> (s + 1)
+            src = a_ref if si == 0 else (bufB if si % 2 == 1 else bufA)
+            dst = bufB if si % 2 == 0 else bufA
+            last = si == nstages - 1
+            lg = h.bit_length() - 1
+
+            def cbody(c, carry, h=h, s=s, src=src, dst=dst, last=last, lg=lg):
+                row0 = c * C
+                cur = src[:, pl.ds(row0, C)]
+                tw = t_ref[s, :, pl.ds(row0, C)][:, :, None]  # (16, C, 1)
+                if h >= C:
+                    # whole chunk is u or v; partner lives h/C chunks away
+                    step_c = h // C
+                    pd = jnp.remainder(c + step_c, nchunks)
+                    pu = jnp.remainder(c - step_c, nchunks)
+                    down = src[:, pl.ds(pd * C, C)]
+                    up = src[:, pl.ds(pu * C, C)]
+                    isv = ((c // step_c) & 1).astype(jnp.uint32)
+                    vmask = jnp.broadcast_to(
+                        (jnp.uint32(0) - isv)[None, None, None], cur.shape
+                    )
+                else:
+                    # pairs live inside the chunk (2h <= C): intra-chunk roll
+                    down = jnp.concatenate([cur[:, h:], cur[:, :h]], axis=1)
+                    up = jnp.concatenate([cur[:, C - h:], cur[:, :C - h]],
+                                         axis=1)
+                    pos = jax.lax.broadcasted_iota(jnp.uint32, cur.shape, 1)
+                    vmask = jnp.uint32(0) - ((pos >> lg) & 1)
+                if dif:
+                    # bit==0: u + v;  bit==1: (u - v)*tw
+                    a_plus = tf.add(cur, down)
+                    a_minus = tf.mul(tf.sub(up, cur), tw)
+                else:
+                    # bit==0: u + tw*v;  bit==1: u - tw*v
+                    p = tf.mul((cur & vmask) | (down & ~vmask), tw)
+                    a_plus = tf.add(cur, p)
+                    a_minus = tf.sub(up, p)
+                out = (a_minus & vmask) | (a_plus & ~vmask)
+                if last:
+                    finish(out, c)
+                else:
+                    dst[:, pl.ds(row0, C)] = out
+                return carry
+
+            jax.lax.fori_loop(0, nchunks, cbody, 0)
+
+    def kernel1(a_ref, t_ref, mid_ref, o_ref, bufA, bufB):
+        C = min(CHUNK, n2)
+
+        def finish(chunk, c):
+            mid = mid_ref[:, pl.ds(c * C, C)]
+            o_ref[:, pl.ds(c * C, C)] = tf.canon(tf.mul(chunk, mid))
+
+        sub_ntt(a_ref, t_ref, (bufA, bufB), n2, True, finish)
+
+    def kernel2(a_ref, t_ref, o_ref, bufA, bufB):
+        C = min(CHUNK, n1)
+
+        def finish(chunk, c):
+            o_ref[:, pl.ds(c * C, C)] = tf.canon(chunk)
+
+        sub_ntt(a_ref, t_ref, (bufA, bufB), n1, False, finish)
+
+    def spec3(m, B):
+        return pl.BlockSpec(
+            (NUM_LIMBS, m, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    def tabspec(nstages, m):
+        return pl.BlockSpec(
+            (nstages, NUM_LIMBS, m), lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def pingpong(m):
+        return [
+            pltpu.VMEM((NUM_LIMBS, m, block), jnp.uint32) for _ in range(2)
+        ]
+
+    def run1(a, tab, mid):
+        # a, mid: (16, n2, n1); tab: (l2, 16, n2)
+        grid = (n1 // block,)
+        return pl.pallas_call(
+            kernel1,
+            out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n2, n1), jnp.uint32),
+            grid=grid,
+            in_specs=[spec3(n2, block), tabspec(l2, n2), spec3(n2, block)],
+            out_specs=spec3(n2, block),
+            scratch_shapes=pingpong(n2),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(a, tab, mid)
+
+    def run2(a, tab):
+        grid = (n2 // block,)
+        return pl.pallas_call(
+            kernel2,
+            out_shape=jax.ShapeDtypeStruct((NUM_LIMBS, n1, n2), jnp.uint32),
+            grid=grid,
+            in_specs=[spec3(n1, block), tabspec(l1, n1)],
+            out_specs=spec3(n1, block),
+            scratch_shapes=pingpong(n1),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(a, tab)
+
+    return run1, run2
+
+
+@lru_cache(maxsize=None)
+def _ntt_fourstep_jit(modulus: int, log_n: int, inverse: bool, block: int,
+                      interpret: bool):
+    lf = limb_field(modulus)
+    n = 1 << log_n
+    l1 = log_n // 2
+    l2 = log_n - l1
+    n1, n2 = 1 << l1, 1 << l2
+    dif_tab, dit_tab, mid = _fourstep_consts(modulus, log_n, inverse)
+    run1, run2 = _fourstep_kernels(modulus, log_n, block, interpret)
+
+    def run(a):
+        # (n, 16) natural -> limbs-major matrix A[:, i2, i1], i = i1 + n1*i2
+        x = a.T.reshape(NUM_LIMBS, n2, n1)
+        c = run1(x, dif_tab, mid)  # C[:, rev(k2), i1]
+        # mid permutation: D[:, rev(i1), k2] = C[:, rev(k2), i1] — on flat
+        # indices this is exactly full bit reversal, i.e. reshape to 2-bits,
+        # reverse all axes, reshape back: ONE XLA copy.
+        bits = c.reshape((NUM_LIMBS,) + (2,) * log_n)
+        d = jnp.transpose(bits, (0,) + tuple(range(log_n, 0, -1)))
+        d = d.reshape(NUM_LIMBS, n1, n2)
+        e = run2(d, dit_tab)  # E[:, k1, k2], k = k1*n2 + k2 natural
+        out = e.reshape(NUM_LIMBS, n).T
+        if inverse:
+            out = lf.mul(out, lf.const(pow(n, -1, modulus), (1,)))
+        return out
+
+    return jax.jit(run)
+
+
 def ntt(a, modulus: int, inverse: bool = False):
     """Forward/inverse NTT of a (n, NUM_LIMBS) Montgomery limb array.
 
@@ -180,11 +420,20 @@ def ntt(a, modulus: int, inverse: bool = False):
     if log_n == 0:
         return a
     backend = os.environ.get("MIRA_NTT", "auto")
-    use_pallas = backend == "pallas"
     if backend == "auto":
-        use_pallas = jax.default_backend() not in ("cpu",) and n >= 4096
-    if use_pallas:
-        interpret = jax.default_backend() == "cpu"
+        backend = (
+            "fourstep"
+            if jax.default_backend() not in ("cpu",) and n >= 4096
+            else "xla"
+        )
+    interpret = jax.default_backend() == "cpu"
+    if backend in ("pallas", "fourstep"):
+        # fused multi-stage four-step kernels (one HBM round-trip per
+        # log(n)/2 stages instead of per stage)
+        n1 = 1 << (log_n // 2)
+        block = min(128, n1)
+        return _ntt_fourstep_jit(modulus, log_n, inverse, block, interpret)(a)
+    if backend == "pallas-stage":
         block = min(512, n // 2)
         return _ntt_pallas_jit(modulus, log_n, inverse, block, interpret)(a)
     return _ntt_jit(modulus, log_n, inverse)(a)

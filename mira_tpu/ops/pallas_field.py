@@ -58,8 +58,9 @@ class TField:
         self.one_mont_limbs = [int(v) for v in int_to_limbs(r % modulus)]
 
     def _tile(self, limbs, B):
+        shape = (B,) if isinstance(B, int) else tuple(B)
         return jnp.stack(
-            [jnp.full((B,), v, jnp.uint32) for v in limbs], axis=0
+            [jnp.full(shape, v, jnp.uint32) for v in limbs], axis=0
         )
 
     def p_tile(self, B):
@@ -101,9 +102,9 @@ class TField:
         return jnp.stack(rows, axis=0)
 
     def _cond_sub_p(self, acc17):
-        B = acc17.shape[1]
+        B = acc17.shape[1:]
         p17 = jnp.concatenate(
-            [self.p_tile(B), jnp.zeros((1, B), jnp.uint32)], axis=0
+            [self.p_tile(B), jnp.zeros((1,) + B, jnp.uint32)], axis=0
         )
         # One round suffices: every caller maintains inputs < p, so sums are
         # < 2p and Montgomery outputs T = (ab + mp)/R < p^2/R + p < 2p.
@@ -115,9 +116,10 @@ class TField:
 
     def _cond_sub_2p(self, acc17):
         """(17, B) normalized value < 4p -> (16, B) value < 2p."""
-        B = acc17.shape[1]
+        B = acc17.shape[1:]
         t17 = jnp.concatenate(
-            [self._tile(self.twop_limbs, B), jnp.zeros((1, B), jnp.uint32)],
+            [self._tile(self.twop_limbs, B),
+             jnp.zeros((1,) + B, jnp.uint32)],
             axis=0,
         )
         ge = self._geq(acc17, t17)
@@ -128,14 +130,15 @@ class TField:
 
     def canon(self, a):
         """Half-reduced [0, 2p) -> canonical [0, p) (one cond-sub)."""
-        B = a.shape[1]
-        acc17 = jnp.concatenate([a, jnp.zeros((1, B), jnp.uint32)], axis=0)
+        acc17 = jnp.concatenate(
+            [a, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0
+        )
         return self._cond_sub_p(acc17)
 
     # -- ring ops ------------------------------------------------------------
     def add(self, a, b):
         acc = jnp.concatenate(
-            [a + b, jnp.zeros((1, a.shape[1]), jnp.uint32)], axis=0
+            [a + b, jnp.zeros((1,) + a.shape[1:], jnp.uint32)], axis=0
         )
         acc = self._normalize17(acc)
         if self.lazy:
@@ -146,23 +149,23 @@ class TField:
         if self.lazy:
             # 2p - a for a in [0, 2p); a = 0 maps to 2p, folded back by the
             # conditional subtraction
-            B = a.shape[1]
+            B = a.shape[1:]
             d = self._sub16(self._tile(self.twop_limbs, B), a)
             acc17 = jnp.concatenate(
-                [d, jnp.zeros((1, B), jnp.uint32)], axis=0
+                [d, jnp.zeros((1,) + B, jnp.uint32)], axis=0
             )
             return self._cond_sub_2p(acc17)
         z = self.is_zero(a)
-        d = self._sub16(self.p_tile(a.shape[1]), a)
+        d = self._sub16(self.p_tile(a.shape[1:]), a)
         return self.select(z, a, d)
 
     def sub(self, a, b):
         if self.lazy:
             # a + (2p - b) < 4p, one normalize + one cond-sub-2p
-            B = a.shape[1]
+            B = a.shape[1:]
             d = self._sub16(self._tile(self.twop_limbs, B), b)
             acc = jnp.concatenate(
-                [a + d, jnp.zeros((1, B), jnp.uint32)], axis=0
+                [a + d, jnp.zeros((1,) + B, jnp.uint32)], axis=0
             )
             return self._cond_sub_2p(self._normalize17(acc))
         return self.add(a, self.neg(b))
@@ -183,10 +186,10 @@ class TField:
 
         Row bounds: each row gains < 2^18 per iteration and lives <= 16
         shifts, so rows stay < 2^23 — comfortably inside uint32."""
-        B = a.shape[1]
-        acc = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
-        p = self.p_tile(B)
-        row = jax.lax.broadcasted_iota(jnp.uint32, (NUM_LIMBS, B), 0)
+        shp = jnp.broadcast_shapes(a.shape, b.shape)[1:]
+        acc = jnp.zeros((NUM_LIMBS,) + shp, jnp.uint32)
+        p = self.p_tile(shp)
+        row = jax.lax.broadcasted_iota(jnp.uint32, (NUM_LIMBS,) + shp, 0)
         not_row0 = jnp.where(row != 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
         for i in range(NUM_LIMBS):
             prod = a[i][None, :] * b
@@ -202,7 +205,7 @@ class TField:
             acc = jnp.where(row == NUM_LIMBS - 1, hi[None, :], acc)
             acc = acc + jnp.where(row == 0, carry[None, :], jnp.uint32(0))
         acc17 = jnp.concatenate(
-            [acc, jnp.zeros((1, B), jnp.uint32)], axis=0
+            [acc, jnp.zeros((1,) + shp, jnp.uint32)], axis=0
         )
         acc17 = self._normalize17(acc17)
         if self.lazy:
@@ -328,6 +331,119 @@ class TField:
         Y3 = self.select(p_inf, Y2, self.select(q_inf, Y1, Y3))
         Z3 = self.select(p_inf, Z2, self.select(q_inf, Z1, Z3))
         return (X3, Y3, Z3)
+
+    # -- XYZZ curve ops (a = 0) ----------------------------------------------
+    # Representation (X, Y, ZZ, ZZZ): affine x = X/ZZ, y = Y/ZZZ with the
+    # invariant ZZ^3 == ZZZ^2; identity encoded as ZZ == 0 (ZZZ is then
+    # unspecified — every identity check here uses ZZ only).  Mixed addition
+    # with an affine operand is 8M+2S vs the Jacobian incomplete add's
+    # 12M+4S — the win that makes the precomputed-affine-table MSM kernel
+    # (ops/pallas_msm.py fixed-base path) ~1.5x the Jacobian kernel.
+
+    def xyzz_identity(self, B):
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = self.one_tile(B)
+        return (zero, one, zero, one)
+
+    def xyzz_madd(self, acc, xy, take):
+        """acc (XYZZ) += affine (x2, y2), masked by take ((B,) uint32 0/1).
+
+        Incomplete in the same sense as jac_add_incomplete: the unsupported
+        acc == (x2, y2) doubling case yields identity (a DL collision between
+        independent generators for honest inputs); acc == -(x2, y2) and
+        acc == identity are exact.  madd-2008-s: 8M+2S."""
+        X1, Y1, ZZ1, ZZZ1 = acc
+        x2, y2 = xy
+        U2 = self.mul(x2, ZZ1)
+        S2 = self.mul(y2, ZZZ1)
+        P = self.sub(U2, X1)
+        R = self.sub(S2, Y1)
+        PP = self.square(P)
+        PPP = self.mul(P, PP)
+        Q = self.mul(X1, PP)
+        X3 = self.sub(self.sub(self.square(R), PPP), self.double(Q))
+        Y3 = self.sub(self.mul(R, self.sub(Q, X3)), self.mul(Y1, PPP))
+        ZZ3 = self.mul(ZZ1, PP)
+        ZZZ3 = self.mul(ZZZ1, PPP)
+
+        acc_id = self.is_zero(ZZ1)
+        p_zero = self.is_zero(P)
+        to_inf = p_zero * (1 - acc_id)  # opposite (or unsupported equal)
+        B = X1.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = self.one_tile(B)
+        ZZ3 = self.select(to_inf, zero, ZZ3)
+        # acc identity -> result is the affine point itself
+        X3 = self.select(acc_id, x2, X3)
+        Y3 = self.select(acc_id, y2, Y3)
+        ZZ3 = self.select(acc_id, one, ZZ3)
+        ZZZ3 = self.select(acc_id, one, ZZZ3)
+        return (
+            self.select(take, X3, X1),
+            self.select(take, Y3, Y1),
+            self.select(take, ZZ3, ZZ1),
+            self.select(take, ZZZ3, ZZZ1),
+        )
+
+    def xyzz_add(self, p, q):
+        """General XYZZ + XYZZ (add-2008-s, 12M+2S), incomplete: the equal-
+        points case yields identity; identity operands and opposites exact."""
+        X1, Y1, ZZ1, ZZZ1 = p
+        X2, Y2, ZZ2, ZZZ2 = q
+        U1 = self.mul(X1, ZZ2)
+        U2 = self.mul(X2, ZZ1)
+        S1 = self.mul(Y1, ZZZ2)
+        S2 = self.mul(Y2, ZZZ1)
+        P = self.sub(U2, U1)
+        R = self.sub(S2, S1)
+        PP = self.square(P)
+        PPP = self.mul(P, PP)
+        Q = self.mul(U1, PP)
+        X3 = self.sub(self.sub(self.square(R), PPP), self.double(Q))
+        Y3 = self.sub(self.mul(R, self.sub(Q, X3)), self.mul(S1, PPP))
+        ZZ3 = self.mul(self.mul(ZZ1, ZZ2), PP)
+        ZZZ3 = self.mul(self.mul(ZZZ1, ZZZ2), PPP)
+
+        p_id = self.is_zero(ZZ1)
+        q_id = self.is_zero(ZZ2)
+        p_zero = self.is_zero(P)
+        to_inf = p_zero * (1 - p_id) * (1 - q_id)
+        B = X1.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        ZZ3 = self.select(to_inf, zero, ZZ3)
+        X3 = self.select(p_id, X2, self.select(q_id, X1, X3))
+        Y3 = self.select(p_id, Y2, self.select(q_id, Y1, Y3))
+        ZZ3 = self.select(p_id, ZZ2, self.select(q_id, ZZ1, ZZ3))
+        ZZZ3 = self.select(p_id, ZZZ2, self.select(q_id, ZZZ1, ZZZ3))
+        return (X3, Y3, ZZ3, ZZZ3)
+
+    def xyzz_double(self, p):
+        """XYZZ doubling (dbl-2008-s, a = 0): 6M+3S. Identity stays identity
+        (ZZ3 = V*ZZ1 = 0)."""
+        X1, Y1, ZZ1, ZZZ1 = p
+        U = self.double(Y1)
+        V = self.square(U)
+        W = self.mul(U, V)
+        S = self.mul(X1, V)
+        XX = self.square(X1)
+        M = self.add(self.double(XX), XX)
+        X3 = self.sub(self.square(M), self.double(S))
+        Y3 = self.sub(self.mul(M, self.sub(S, X3)), self.mul(W, Y1))
+        ZZ3 = self.mul(V, ZZ1)
+        ZZZ3 = self.mul(W, ZZZ1)
+        return (X3, Y3, ZZ3, ZZZ3)
+
+    def xyzz_to_jac(self, p):
+        """(X, Y, ZZ, ZZZ) -> Jacobian (X_j, Y_j, Z_j) with Z_j = ZZ*ZZZ:
+        X_j = X*ZZ*ZZZ^2, Y_j = Y*ZZ^3*ZZZ^2.  Identity (ZZ=0) -> Z_j=0."""
+        X, Y, ZZ, ZZZ = p
+        Zj = self.mul(ZZ, ZZZ)
+        ZZZ2 = self.square(ZZZ)
+        ZZ2 = self.square(ZZ)
+        ZZ3 = self.mul(ZZ2, ZZ)
+        Xj = self.mul(self.mul(X, ZZ), ZZZ2)
+        Yj = self.mul(self.mul(Y, ZZ3), ZZZ2)
+        return (Xj, Yj, Zj)
 
     def jac_add(self, p, q):
         X1, Y1, Z1 = p

@@ -315,6 +315,10 @@ def _msm_pallas_pippenger_signed_jit(modulus: int, num_bits: int, block: int,
         pltpu = None
         memory_space = None
 
+    # digit extraction reads limb bit//16 and its successor; the top window
+    # of a 254-bit scalar starts at bit 255 -> limb 15 (in range).  A wider
+    # curve would index limb 16 out of bounds — fail loudly instead.
+    assert num_bits <= 255, "signed-digit kernel assumes scalars < 2^255"
     tf = tfield(modulus, interpret, lazy=True)
     # +1 window absorbs the final recoding carry (top raw digit can reach 16)
     nwin = (num_bits + SWINDOW - 1) // SWINDOW + 1
@@ -552,10 +556,278 @@ def _msm_pallas_jit(modulus: int, num_bits: int, block: int, interpret: bool):
     return jax.jit(run)
 
 
+@lru_cache(maxsize=None)
+def _table_step_jits(curve_name: str):
+    """Small reusable jit pieces for the table build.  One monolithic graph
+    (ntab chained point-adds + a 254-bit inversion) takes minutes to compile
+    (XLA:CPU) or OOMs the remote TPU compile helper; a handful of tiny
+    programs compiled once and dispatched ntab times costs neither."""
+    ops = jacobian_ops(curve_name)
+    lf = ops.lf
+    add = jax.jit(lambda p, q: ops.add(p, q))
+    dbl = jax.jit(ops.double)
+    mul = jax.jit(lf.mul)
+    inv = jax.jit(lf.inv)
+
+    def _affine(Xm, Ym, zi):
+        zi2 = lf.square(zi)
+        return lf.mul(Xm, zi2), lf.mul(Ym, lf.mul(zi2, zi))
+
+    affine = jax.jit(_affine)
+    return add, dbl, mul, inv, affine
+
+
+def precompute_fixed_table(points, curve: CurveParams, window: int,
+                           chunk: int = 1 << 18):
+    """(X, Y, Z) Montgomery (n, 16) -> (2*ntab, 16, n) affine multiples table
+    [x(1P)..x(vP), y(1P)..y(vP)], v = ntab = 2^(w-1), built in chunks to
+    bound transient HBM.  Lanes with Z = 0 (padding) produce garbage entries
+    that are never selected (their scalars are 0 => every digit is a no-op)."""
+    add, dbl, mul, inv, affine = _table_step_jits(curve.name)
+    ntab = 1 << (window - 1)
+    X, Y, Z = points
+    n = X.shape[0]
+    parts = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pt = (X[lo:hi], Y[lo:hi], Z[lo:hi])
+        mults = [pt]
+        if ntab >= 2:
+            mults.append(dbl(pt))
+        for _ in range(3, ntab + 1):
+            mults.append(add(mults[-1], pt))
+        # Montgomery batch inversion of the ntab Z coords per lane
+        Zs = [m[2] for m in mults]
+        prefix = [Zs[0]]
+        for v in range(1, ntab):
+            prefix.append(mul(prefix[-1], Zs[v]))
+        run = inv(prefix[-1])
+        invs = [None] * ntab
+        for v in range(ntab - 1, 0, -1):
+            invs[v] = mul(run, prefix[v - 1])
+            run = mul(run, Zs[v])
+        invs[0] = run
+        xs, ys = [], []
+        for v in range(ntab):
+            ax, ay = affine(mults[v][0], mults[v][1], invs[v])
+            xs.append(ax)
+            ys.append(ay)
+        parts.append(
+            jnp.stack([c.T for c in xs] + [c.T for c in ys], axis=0)
+        )
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=2)
+    return jax.block_until_ready(out)
+
+
+@lru_cache(maxsize=None)
+def _msm_pallas_fixed_jit(modulus: int, num_bits: int, block: int,
+                          window: int, interpret: bool):
+    """Fixed-base signed-digit Pippenger over a PRECOMPUTED affine table.
+
+    The per-block table build of the generic kernels (8 doubles + 8 adds per
+    point) disappears: multiples v*P for v = 1..2^(w-1) are streamed from
+    HBM (precompute_fixed_table) as affine (x, y), and every bucket add is a
+    mixed XYZZ madd (8M+2S) instead of a Jacobian incomplete add (12M+4S).
+    Per-point cost drops from ~68 point-ops to ~nwin mixed adds — ~2x fewer
+    field muls than the signed Jacobian kernel for w=6.  HBM traffic is
+    2*ntab*64 B/point (4 KB at w=6) against v5e's 819 GB/s — still
+    compute-bound by >100x.
+
+    Commitment MSMs reuse one key across every fold step
+    (/root/reference/src/commitment.rs:78-87 recomputes nothing either —
+    halo2's best_multiexp is given the fixed bases), so the table amortizes
+    to noise; CommitmentKey caches it per MSM width."""
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        memory_space = pltpu.VMEM
+    except Exception:  # pragma: no cover
+        pltpu = None
+        memory_space = None
+
+    assert num_bits <= 255, "digit extraction assumes scalars < 2^255"
+    tf = tfield(modulus, interpret, lazy=True)
+    nwin = (num_bits + window - 1) // window + 1
+    ntab = 1 << (window - 1)
+
+    def _lane_roll(x, s):
+        if interpret:
+            return jnp.roll(x, -s, axis=1)
+        return pltpu.roll(x, shift=(-s) % x.shape[1], axis=1)
+
+    def kernel(sc_ref, tab_ref, ox_ref, oy_ref, oz_ref,
+               accX, accY, accZZ, accZZZ):
+        step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        B = sc_ref.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = tf.one_tile(B)
+
+        @pl.when(step == 0)
+        def _init():
+            accX[...] = jnp.zeros((nwin, NUM_LIMBS, B), jnp.uint32)
+            accY[...] = jnp.broadcast_to(one[None], (nwin, NUM_LIMBS, B))
+            accZZ[...] = jnp.zeros((nwin, NUM_LIMBS, B), jnp.uint32)
+            accZZZ[...] = jnp.broadcast_to(one[None], (nwin, NUM_LIMBS, B))
+
+        half = jnp.uint32(ntab)
+        base = jnp.uint32(2 * ntab)
+        dmask = jnp.uint32(base - 1)
+
+        def wbody(w, c):
+            bit = w * window
+            l0 = bit // LIMB_BITS
+            r = (bit % LIMB_BITS).astype(jnp.uint32)
+            # windows whose start bit is past the scalar width contribute
+            # only their incoming carry (w=6: window 43 starts at bit 258)
+            valid0 = jnp.where(l0 <= NUM_LIMBS - 1,
+                               jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            l0c = jnp.minimum(l0, NUM_LIMBS - 1)
+            low = sc_ref[pl.ds(l0c, 1), :][0] >> r
+            l1 = jnp.minimum(l0 + 1, NUM_LIMBS - 1)
+            hi = sc_ref[pl.ds(l1, 1), :][0] << (jnp.uint32(LIMB_BITS) - r)
+            valid = jnp.where(l0 + 1 <= NUM_LIMBS - 1,
+                              jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            raw = ((low & valid0) | (hi & valid)) & dmask
+            t = raw + c
+            c_out = jnp.where(t >= half, jnp.uint32(1), jnp.uint32(0))
+            mag = jnp.where(c_out == 1, base - t, t)
+            negf = jnp.where((c_out == 1) & (mag > 0),
+                             jnp.uint32(1), jnp.uint32(0))
+            selX, selY = zero, one
+            for v in range(1, ntab + 1):
+                m = jnp.where(mag == v, jnp.uint32(1), jnp.uint32(0))
+                selX = tf.select(m, tab_ref[pl.ds(v - 1, 1)][0], selX)
+                selY = tf.select(m, tab_ref[pl.ds(ntab + v - 1, 1)][0], selY)
+            selY = tf.select(negf, tf.neg(selY), selY)
+            take = jnp.where(mag > 0, jnp.uint32(1), jnp.uint32(0))
+            acc = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
+                   accZZ[pl.ds(w, 1)][0], accZZZ[pl.ds(w, 1)][0])
+            nX, nY, nZZ, nZZZ = tf.xyzz_madd(acc, (selX, selY), take)
+            accX[pl.ds(w, 1)] = nX[None]
+            accY[pl.ds(w, 1)] = nY[None]
+            accZZ[pl.ds(w, 1)] = nZZ[None]
+            accZZZ[pl.ds(w, 1)] = nZZZ[None]
+            return c_out
+
+        jax.lax.fori_loop(0, nwin, wbody, jnp.zeros((B,), jnp.uint32))
+
+        @pl.when(step == nsteps - 1)
+        def _final():
+            def rbody(w, carry):
+                acc = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
+                       accZZ[pl.ds(w, 1)][0], accZZZ[pl.ds(w, 1)][0])
+                s = B // 2
+                while s >= 1:
+                    rolled = tuple(_lane_roll(c, s) for c in acc)
+                    acc = tf.xyzz_add(acc, rolled)
+                    s //= 2
+                accX[pl.ds(w, 1)] = acc[0][None]
+                accY[pl.ds(w, 1)] = acc[1][None]
+                accZZ[pl.ds(w, 1)] = acc[2][None]
+                accZZZ[pl.ds(w, 1)] = acc[3][None]
+                return carry
+
+            jax.lax.fori_loop(0, nwin, rbody, 0)
+
+            S0 = (accX[pl.ds(nwin - 1, 1)][0], accY[pl.ds(nwin - 1, 1)][0],
+                  accZZ[pl.ds(nwin - 1, 1)][0], accZZZ[pl.ds(nwin - 1, 1)][0])
+
+            def hbody(i, S):
+                w = nwin - 2 - i
+                for _ in range(window):
+                    S = tf.xyzz_double(S)
+                Ww = (accX[pl.ds(w, 1)][0], accY[pl.ds(w, 1)][0],
+                      accZZ[pl.ds(w, 1)][0], accZZZ[pl.ds(w, 1)][0])
+                return tf.xyzz_add(S, Ww)
+
+            S = jax.lax.fori_loop(0, nwin - 1, hbody, S0)
+            Xj, Yj, Zj = tf.xyzz_to_jac(S)
+            ox_ref[...] = tf.canon(Xj)
+            oy_ref[...] = tf.canon(Yj)
+            oz_ref[...] = tf.canon(Zj)
+
+    def run(sc, tab):
+        n = sc.shape[1]
+        grid = (n // block,)
+        sc_spec = (
+            pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, i))
+            if memory_space is None
+            else pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, i),
+                              memory_space=memory_space)
+        )
+        tab_spec = (
+            pl.BlockSpec((2 * ntab, NUM_LIMBS, block), lambda i: (0, 0, i))
+            if memory_space is None
+            else pl.BlockSpec((2 * ntab, NUM_LIMBS, block),
+                              lambda i: (0, 0, i), memory_space=memory_space)
+        )
+        out_spec = (
+            pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, 0))
+            if memory_space is None
+            else pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, 0),
+                              memory_space=memory_space)
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((NUM_LIMBS, block), jnp.uint32)
+            for _ in range(3)
+        ]
+        scratch = [
+            pltpu.VMEM((nwin, NUM_LIMBS, block), jnp.uint32)
+            for _ in range(4)
+        ]
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[sc_spec, tab_spec],
+            out_specs=[out_spec] * 3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(sc, tab)
+
+    return jax.jit(run)
+
+
+def fixed_base_window(n: int) -> int:
+    """Table window for a fixed-base MSM of width n.  w=6 measured 1.38M
+    pts/s @2^20 vs w=5's 1.22M on one v5e (table 4 KB/point = 4 GB at 2^20);
+    w=5 halves the table for 2^21."""
+    return 6 if n <= (1 << 20) else 5
+
+
+def msm_pallas_fixed(scalars, table, curve: CurveParams, window: int,
+                     block: int = 256):
+    """Fixed-base MSM: scalars (N, 16) plain limbs; table from
+    precompute_fixed_table (2*ntab, 16, N).  Returns a Jacobian limb triple."""
+    interpret = jax.default_backend() == "cpu"
+    num_bits = curve.scalar_modulus.bit_length()
+    n = scalars.shape[0]
+    assert table.shape[2] == n and table.shape[0] == 2 << (window - 1)
+    assert n % block == 0, "caller pads to the block multiple"
+    sc_t = scalars.T
+    ox, oy, oz = _msm_pallas_fixed_jit(
+        curve.base_modulus, num_bits, block, window, interpret
+    )(sc_t, table)
+    return (ox[:, 0], oy[:, 0], oz[:, 0])
+
+
 def msm_pallas(scalars, points, curve: CurveParams, block: int | None = None,
                method: str = "pippenger"):
     """scalars: (N, 16) plain limbs; points: (X, Y, Z) Montgomery (N, 16).
-    Returns a Jacobian triple of (16,) arrays (the reduced sum)."""
+    Returns a Jacobian triple of (16,) arrays (the reduced sum).
+
+    PRECONDITION (pippenger methods): bases must be pairwise DISTINCT
+    non-identity points — the kernels use incomplete adds whose unsupported
+    P == Q case silently yields infinity, so duplicate (scalar, point)
+    pairs (same lane position a block apart, or meeting in the lane/Horner
+    reduction) corrupt the result.  Hash-derived commitment keys
+    (/root/reference/src/commitment.rs:52-76) satisfy this by construction;
+    for arbitrary possibly-duplicated bases use ops.msm.msm (complete adds)
+    or dedup on the host first.  Zero scalars and infinity padding lanes
+    are exact."""
     import jax
 
     if block is None:

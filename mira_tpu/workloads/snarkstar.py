@@ -44,7 +44,8 @@ def ck_sizes(batch_size: int):
 
 def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
         k_override: int | None = None, debug_mode: bool = False,
-        real_proofs: bool = False, num_constraints: int = 1000):
+        real_proofs: bool = False, num_constraints: int = 1000,
+        proof_file: str | None = None):
     from ..curves.host import BN254_G1, GRUMPKIN
     from ..ivc.ivc import IVC
     from ..ivc.public_params import CircuitSide, PublicParams
@@ -71,7 +72,26 @@ def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
         ck2 = CommitmentKey.load_or_setup_cache(GRUMPKIN, ckk2, "grumpkin")
 
     ctx = None
-    if real_proofs:
+    if proof_file is not None:
+        # EXTERNAL proofs: ingest a snarkjs-format bundle (vk + proofs)
+        # through the conversion layer (snark/conversion.py — role of the
+        # reference's examples/groth16/conversion.rs) and fold those.
+        from ..snark.conversion import load_proof_bundle
+        from ..snark.groth16 import Groth16FoldContext, verify
+
+        t0 = time.time()
+        vk, items = load_proof_bundle(proof_file)
+        for pf, pub in items:
+            assert verify(vk, pf, pub), "ingested proof fails verification"
+        need = (steps + 2) * batch_size
+        if len(items) < need:  # cycle the bundle to fill the fold schedule
+            items = [items[i % len(items)] for i in range(need)]
+        ctx = Groth16FoldContext(vk, batch_size)
+        ctx.push_proofs(items)
+        real_proofs = True
+        print(f"ingested {len(items)} external proofs from {proof_file}: "
+              f"{time.time() - t0:.1f}s")
+    elif real_proofs:
         # REAL mode (beyond the reference, which discards its arkworks
         # proofs and folds random elements): generate Groth16 proofs on our
         # own stack and fold them with true pairing cross terms.
@@ -155,6 +175,8 @@ if __name__ == "__main__":
     ap.add_argument("--real-proofs", action="store_true",
                     help="fold actual Groth16 proofs with real Gt cross terms")
     ap.add_argument("--num-constraints", type=int, default=1000)
+    ap.add_argument("--proof-file", type=str, default=None,
+                    help="snarkjs-format JSON bundle of external proofs to fold")
     args = ap.parse_args()
     run(args.steps, args.batch_size, not args.real_ck, args.k, args.debug_mode,
-        args.real_proofs, args.num_constraints)
+        args.real_proofs, args.num_constraints, args.proof_file)

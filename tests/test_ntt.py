@@ -118,3 +118,27 @@ def test_pallas_ntt_matches_xla(monkeypatch):
 )
 def test_pallas_ntt_matches_xla_full(monkeypatch):
     _pallas_vs_xla(monkeypatch, 2048)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MIRA_RUN_SLOW"),
+    reason="pallas interpret compile ~1min/config on CPU; set MIRA_RUN_SLOW=1 "
+    "(device numbers in BASELINE.md round 2)",
+)
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("log_n", [6, 7])
+def test_fourstep_matches_host(log_n, inverse):
+    """Fused four-step Pallas NTT (ops/ntt.py:_ntt_fourstep_jit) against the
+    python-int host NTT, both parities of log_n (n1 != n2 for odd)."""
+    import random
+
+    from mira_tpu.ops.ntt import _ntt_fourstep_jit
+
+    lf = limb_field(BN254_FR)
+    rng = random.Random(3)
+    n = 1 << log_n
+    vals = [rng.randrange(BN254_FR) for _ in range(n)]
+    a = lf.encode(vals)
+    out = _ntt_fourstep_jit(BN254_FR, log_n, inverse, 1 << (log_n // 2), True)(a)
+    assert lf.decode(out) == ntt_host(vals, BN254_FR, inverse)

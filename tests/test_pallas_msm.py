@@ -22,7 +22,7 @@ from mira_tpu.ops.pallas_msm import msm_pallas
     reason="~7min in CPU interpret mode; set MIRA_RUN_SLOW=1 "
     "(verified green in round 1; runs compiled on TPU)",
 )
-@pytest.mark.parametrize("method", ["window", "pippenger"])
+@pytest.mark.parametrize("method", ["window", "pippenger", "pippenger-u4"])
 @pytest.mark.parametrize("curve", [BN254_G1, GRUMPKIN], ids=["bn254", "grumpkin"])
 def test_msm_pallas_matches_host(curve, method):
     rng = random.Random(7)
@@ -36,6 +36,139 @@ def test_msm_pallas_matches_host(curve, method):
     sc = encode_scalars(svals, curve.scalar_modulus)
     enc = ops.encode_points(pts)
     out = msm_pallas(sc, enc, curve, block=8, method=method)
+    got = ops.decode_points(tuple(c[None] for c in out))[0]
+    want = msm_host(svals, pts)
+    assert got == want
+
+
+def _to_tile(v: int, modulus: int):
+    """Host int -> Montgomery (16, 1) limb column for TField ops."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mira_tpu.fields.limbs import int_to_limbs
+
+    m = (v << 256) % modulus
+    return jnp.asarray(int_to_limbs(m)[:, None], dtype=jnp.uint32)
+
+
+def _from_tile(t, modulus: int) -> int:
+    import numpy as np
+    from mira_tpu.fields.limbs import limbs_to_int
+
+    rinv = pow(1 << 256, -1, modulus)
+    return (limbs_to_int(np.asarray(t)[:, 0]) * rinv) % modulus
+
+
+def test_xyzz_ops_match_host():
+    """XYZZ mixed add / general add / double / to_jac (the fixed-base MSM
+    kernel's arithmetic) against host AffinePoint ops — pure jnp, no
+    pallas_call, so it runs fast on CPU."""
+    import jax.numpy as jnp
+    from mira_tpu.ops.pallas_field import tfield
+
+    rng = random.Random(11)
+    curve = BN254_G1
+    p = curve.base_modulus
+    tf = tfield(p, interpret=True, lazy=True)
+    P = AffinePoint.random(curve, rng)
+    Q = AffinePoint.random(curve, rng)
+
+    def xyzz_decode(t):
+        X = _from_tile(tf.canon(t[0]), p)
+        Y = _from_tile(tf.canon(t[1]), p)
+        ZZ = _from_tile(tf.canon(t[2]), p)
+        ZZZ = _from_tile(tf.canon(t[3]), p)
+        if ZZ == 0:
+            return None  # identity
+        zzi = pow(ZZ, -1, p)
+        zzzi = pow(ZZZ, -1, p)
+        return ((X * zzi) % p, (Y * zzzi) % p)
+
+    take = jnp.ones((1,), jnp.uint32)
+    skip = jnp.zeros((1,), jnp.uint32)
+    idn = tf.xyzz_identity(1)
+    xyP = (_to_tile(P.x.v, p), _to_tile(P.y.v, p))
+    xyQ = (_to_tile(Q.x.v, p), _to_tile(Q.y.v, p))
+
+    # identity + P = P
+    accP = tf.xyzz_madd(idn, xyP, take)
+    assert xyzz_decode(accP) == (P.x.v, P.y.v)
+    # masked add keeps acc
+    kept = tf.xyzz_madd(accP, xyQ, skip)
+    assert xyzz_decode(kept) == (P.x.v, P.y.v)
+    # P + Q
+    accPQ = tf.xyzz_madd(accP, xyQ, take)
+    want = P.add(Q)
+    assert xyzz_decode(accPQ) == (want.x.v, want.y.v)
+    # P + (-P) = identity
+    negP = (_to_tile(P.x.v, p), _to_tile((p - P.y.v) % p, p))
+    assert xyzz_decode(tf.xyzz_madd(accP, negP, take)) is None
+    # double
+    d = tf.xyzz_double(accPQ)
+    wantd = want.double()
+    assert xyzz_decode(d) == (wantd.x.v, wantd.y.v)
+    # identity doubles to identity
+    assert xyzz_decode(tf.xyzz_double(idn)) is None
+    # general add: (P+Q) + 2(P+Q)... use distinct values: (P+Q) + P2 where
+    # P2 = double(P+Q)
+    s = tf.xyzz_add(accPQ, d)
+    wants = want.add(wantd)
+    assert xyzz_decode(s) == (wants.x.v, wants.y.v)
+    # general add with identity on either side
+    assert xyzz_decode(tf.xyzz_add(idn, accPQ)) == (want.x.v, want.y.v)
+    assert xyzz_decode(tf.xyzz_add(accPQ, idn)) == (want.x.v, want.y.v)
+    # to_jac roundtrip
+    Xj, Yj, Zj = tf.xyzz_to_jac(accPQ)
+    xj = _from_tile(tf.canon(Xj), p)
+    yj = _from_tile(tf.canon(Yj), p)
+    zj = _from_tile(tf.canon(Zj), p)
+    zi = pow(zj, -1, p)
+    assert (xj * zi * zi) % p == want.x.v
+    assert (yj * zi * zi * zi) % p == want.y.v
+
+
+def test_duplicate_bases_use_complete_add_path():
+    """ADVICE r1 (medium): the Pallas Pippenger kernels assume DISTINCT
+    bases (incomplete adds treat an accidental P == Q as infinity); the
+    complete-add lane method (ops/msm.py) is the documented route for
+    potentially-duplicated bases.  This pins that route's correctness on a
+    duplicate-heavy input."""
+    from mira_tpu.ops.msm import msm_from_host
+
+    rng = random.Random(13)
+    curve = BN254_G1
+    P = AffinePoint.random(curve, rng)
+    Q = AffinePoint.random(curve, rng)
+    pts = [P, P, Q, P, Q, Q, P, P]
+    svals = [rng.randrange(curve.scalar_modulus) for _ in range(8)]
+    svals[3] = svals[0]  # exact (scalar, point) duplicate pair
+    got = msm_from_host(svals, pts, curve)
+    want = msm_host(svals, pts)
+    assert (got.x.v, got.y.v) == (want.x.v, want.y.v)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MIRA_RUN_SLOW"),
+    reason="pallas interpret compile ~10min on CPU; set MIRA_RUN_SLOW=1 "
+    "(device-validated vs host Pippenger at w=5/6 in round 2)",
+)
+def test_fixed_base_kernel_matches_host():
+    from mira_tpu.ops.pallas_msm import msm_pallas_fixed, precompute_fixed_table
+
+    rng = random.Random(7)
+    curve = BN254_G1
+    n = 16
+    pts = [AffinePoint.random(curve, rng) for _ in range(n)]
+    svals = [rng.randrange(curve.scalar_modulus) for _ in range(n)]
+    svals[0] = 0
+    svals[1] = 1
+    svals[2] = curve.scalar_modulus - 1
+    ops = jacobian_ops(curve.name)
+    enc = ops.encode_points(pts)
+    tab = precompute_fixed_table(enc, curve, 3)
+    sc = encode_scalars(svals, curve.scalar_modulus)
+    out = msm_pallas_fixed(sc, tab, curve, 3, block=8)
     got = ops.decode_points(tuple(c[None] for c in out))[0]
     want = msm_host(svals, pts)
     assert got == want

@@ -219,7 +219,8 @@ def _fourstep_consts(modulus: int, log_n: int, inverse: bool):
 
 
 @lru_cache(maxsize=None)
-def _fourstep_kernels(modulus: int, log_n: int, block: int, interpret: bool):
+def _fourstep_kernels(modulus: int, log_n: int, block: int, interpret: bool,
+                      chunk: int = 128):
     """The two fused multi-stage Pallas kernels of the four-step NTT.
 
     kernel1: a VMEM tile (16, n2, B) runs ALL l2 DIF butterfly stages along
@@ -240,20 +241,31 @@ def _fourstep_kernels(modulus: int, log_n: int, block: int, interpret: bool):
     l2 = log_n - l1
     n1, n2 = 1 << l1, 1 << l2
 
-    CHUNK = 128  # sublane rows processed per inner step (bounds live VMEM)
+    CHUNK = chunk  # sublane rows processed per inner step (bounds live VMEM)
 
     def sub_ntt(a_ref, t_ref, bufs, m, dif: bool, finish):
         """All log2(m) butterfly stages along axis 1 of a (16, m, B) ref.
 
         Mosaic/VMEM-friendly formulation: NO reshapes, and the stage sweep is
-        CHUNKED — each fori step reads a (16, C, B) row window (plus its
-        partner window at distance h) from the source scratch and writes one
-        window to the destination scratch (ping-pong), so live vector state
-        stays ~10 * C*B*64B instead of full-width intermediates (full-width
-        muls at m=1024, B=128 spilled 116 MB of registers).  The u/v role of
-        each row is an iota/scalar-derived mask; the twiddle multiply runs
-        window-wide (~1 mul/element/stage).  `finish(chunk, c)` post-
-        processes each chunk of the LAST stage (mid-twiddle mul + canon)."""
+        CHUNKED — each fori step reads (16, C, B) row windows from the source
+        scratch and writes windows to the destination scratch (ping-pong), so
+        live vector state stays bounded (full-width muls at m=1024, B=128
+        spilled 116 MB of registers).
+
+        Chunk-PAIR mul sharing (the round-2 twiddle-cost fix BASELINE.md
+        flagged): each fori step processes TWO chunks and packs both chunks'
+        genuine mul inputs (the v-half of every butterfly pair) into ONE
+        full-width CIOS multiply — 0.5 muls/element/stage instead of the 1.0
+        the old full-width masked formulation paid (it multiplied u
+        positions and threw the products away).  Inter-chunk stages (h >= C)
+        pair a u-chunk with its partner v-chunk (no rolls at all); intra-
+        chunk stages (2h <= C) pack chunk c1's mul inputs into the v slots
+        of chunk c0's array with sublane rotates (tw[j] depends only on
+        j mod h, so one twiddle window serves both chunks and both slots).
+        The h == 1 stage's twiddles are all one (wm^((j mod 1)*m/2)): its
+        multiply is skipped outright — lazy values stay in [0, 2p), so the
+        identity is exact.  `finish(chunk, c)` post-processes each chunk of
+        the LAST stage (mid-twiddle mul + canon)."""
         bufA, bufB = bufs
         nstages = m.bit_length() - 1
         C = min(CHUNK, m)
@@ -261,52 +273,115 @@ def _fourstep_kernels(modulus: int, log_n: int, block: int, interpret: bool):
         stage_ids = range(nstages)  # DIF storage order: h = m/2 .. 1
         order = list(stage_ids) if dif else list(reversed(list(stage_ids)))
 
+        def rolldn(x, h):  # [p] = x[p+h] (partner below)
+            return jnp.concatenate([x[:, h:], x[:, :h]], axis=1)
+
+        def rollup(x, h):  # [p] = x[p-h] (partner above)
+            return jnp.concatenate([x[:, C - h:], x[:, :C - h]], axis=1)
+
         for si, s in enumerate(order):
             h = m >> (s + 1)
             src = a_ref if si == 0 else (bufB if si % 2 == 1 else bufA)
             dst = bufB if si % 2 == 0 else bufA
             last = si == nstages - 1
             lg = h.bit_length() - 1
+            skip_tw = h == 1  # all-ones twiddle row: multiply is identity
 
-            def cbody(c, carry, h=h, s=s, src=src, dst=dst, last=last, lg=lg):
-                row0 = c * C
-                cur = src[:, pl.ds(row0, C)]
-                tw = t_ref[s, :, pl.ds(row0, C)][:, :, None]  # (16, C, 1)
-                if h >= C:
-                    # whole chunk is u or v; partner lives h/C chunks away
-                    step_c = h // C
-                    pd = jnp.remainder(c + step_c, nchunks)
-                    pu = jnp.remainder(c - step_c, nchunks)
-                    down = src[:, pl.ds(pd * C, C)]
-                    up = src[:, pl.ds(pu * C, C)]
-                    isv = ((c // step_c) & 1).astype(jnp.uint32)
-                    vmask = jnp.broadcast_to(
-                        (jnp.uint32(0) - isv)[None, None, None], cur.shape
-                    )
-                else:
-                    # pairs live inside the chunk (2h <= C): intra-chunk roll
-                    down = jnp.concatenate([cur[:, h:], cur[:, :h]], axis=1)
-                    up = jnp.concatenate([cur[:, C - h:], cur[:, :C - h]],
-                                         axis=1)
-                    pos = jax.lax.broadcasted_iota(jnp.uint32, cur.shape, 1)
-                    vmask = jnp.uint32(0) - ((pos >> lg) & 1)
-                if dif:
-                    # bit==0: u + v;  bit==1: (u - v)*tw
-                    a_plus = tf.add(cur, down)
-                    a_minus = tf.mul(tf.sub(up, cur), tw)
-                else:
-                    # bit==0: u + tw*v;  bit==1: u - tw*v
-                    p = tf.mul((cur & vmask) | (down & ~vmask), tw)
-                    a_plus = tf.add(cur, p)
-                    a_minus = tf.sub(up, p)
-                out = (a_minus & vmask) | (a_plus & ~vmask)
+            def put(out, c, dst=dst, last=last):
                 if last:
                     finish(out, c)
                 else:
-                    dst[:, pl.ds(row0, C)] = out
-                return carry
+                    dst[:, pl.ds(c * C, C)] = out
 
-            jax.lax.fori_loop(0, nchunks, cbody, 0)
+            if nchunks == 1:
+                # single chunk: the pre-pairing full-width masked path
+                # (small m — perf-irrelevant, keeps the code simple)
+                def cbody(c, carry, h=h, s=s, src=src, lg=lg,
+                          skip_tw=skip_tw, put=put):
+                    cur = src[:, pl.ds(c * C, C)]
+                    tw = t_ref[s, :, pl.ds(c * C, C)][:, :, None]
+                    down = rolldn(cur, h)
+                    up = rollup(cur, h)
+                    pos = jax.lax.broadcasted_iota(jnp.uint32, cur.shape, 1)
+                    vmask = jnp.uint32(0) - ((pos >> lg) & 1)
+                    if dif:
+                        a_plus = tf.add(cur, down)
+                        d = tf.sub(up, cur)
+                        a_minus = d if skip_tw else tf.mul(d, tw)
+                    else:
+                        v = (cur & vmask) | (down & ~vmask)
+                        p = v if skip_tw else tf.mul(v, tw)
+                        a_plus = tf.add(cur, p)
+                        a_minus = tf.sub(up, p)
+                    put((a_minus & vmask) | (a_plus & ~vmask), c)
+                    return carry
+
+                jax.lax.fori_loop(0, nchunks, cbody, 0)
+            elif h >= C:
+                # whole chunks are u or v: pair (c_u, c_u + h/C), one mul
+                step_c = h // C
+
+                def pbody(i, carry, h=h, s=s, src=src, step_c=step_c,
+                          skip_tw=skip_tw, put=put):
+                    group = i // step_c
+                    off = i - group * step_c
+                    cu = group * 2 * step_c + off
+                    cv = cu + step_c
+                    u = src[:, pl.ds(cu * C, C)]
+                    v = src[:, pl.ds(cv * C, C)]
+                    tw = t_ref[s, :, pl.ds(cu * C, C)][:, :, None]
+                    if dif:
+                        outu = tf.add(u, v)
+                        d = tf.sub(u, v)
+                        outv = d if skip_tw else tf.mul(d, tw)
+                    else:
+                        p = v if skip_tw else tf.mul(v, tw)
+                        outu = tf.add(u, p)
+                        outv = tf.sub(u, p)
+                    put(outu, cu)
+                    put(outv, cv)
+                    return carry
+
+                jax.lax.fori_loop(0, nchunks // 2, pbody, 0)
+            else:
+                # intra-chunk pairs (2h <= C): pack chunk c1's mul inputs
+                # into chunk c0's v slots, multiply once, unpack
+                def pbody(i, carry, h=h, s=s, src=src, lg=lg,
+                          skip_tw=skip_tw, put=put):
+                    c0, c1 = 2 * i, 2 * i + 1
+                    x0 = src[:, pl.ds(c0 * C, C)]
+                    x1 = src[:, pl.ds(c1 * C, C)]
+                    tw = t_ref[s, :, pl.ds(c0 * C, C)][:, :, None]
+                    pos = jax.lax.broadcasted_iota(jnp.uint32, x0.shape, 1)
+                    vmask = jnp.uint32(0) - ((pos >> lg) & 1)
+                    umask = ~vmask
+                    if dif:
+                        # out_u = x_u + x_v; out_v = (x_u - x_v) * tw
+                        r0 = rolldn(x0, h)
+                        r1 = rolldn(x1, h)
+                        plus0 = tf.add(x0, r0)   # valid at u slots
+                        plus1 = tf.add(x1, r1)
+                        d0 = tf.sub(x0, r0)      # mul input at u slots
+                        d1 = tf.sub(x1, r1)
+                        mm = (d0 & umask) | (rollup(d1, h) & vmask)
+                        p = mm if skip_tw else tf.mul(mm, tw)
+                        put((plus0 & umask) | (rollup(p, h) & vmask), c0)
+                        put((plus1 & umask) | (p & vmask), c1)
+                    else:
+                        # out_u = x_u + tw*x_v; out_v = x_u - tw*x_v
+                        mm = (rolldn(x0, h) & umask) | (x1 & vmask)
+                        p = mm if skip_tw else tf.mul(mm, tw)
+                        out0 = (tf.add(x0, p) & umask) | (
+                            tf.sub(rollup(x0, h), rollup(p, h)) & vmask
+                        )
+                        out1 = (tf.add(x1, rolldn(p, h)) & umask) | (
+                            tf.sub(rollup(x1, h), p) & vmask
+                        )
+                        put(out0, c0)
+                        put(out1, c1)
+                    return carry
+
+                jax.lax.fori_loop(0, nchunks // 2, pbody, 0)
 
     def kernel1(a_ref, t_ref, mid_ref, o_ref, bufA, bufB):
         C = min(CHUNK, n2)
@@ -377,14 +452,14 @@ def _fourstep_kernels(modulus: int, log_n: int, block: int, interpret: bool):
 
 @lru_cache(maxsize=None)
 def _ntt_fourstep_jit(modulus: int, log_n: int, inverse: bool, block: int,
-                      interpret: bool):
+                      interpret: bool, chunk: int = 128):
     lf = limb_field(modulus)
     n = 1 << log_n
     l1 = log_n // 2
     l2 = log_n - l1
     n1, n2 = 1 << l1, 1 << l2
     dif_tab, dit_tab, mid = _fourstep_consts(modulus, log_n, inverse)
-    run1, run2 = _fourstep_kernels(modulus, log_n, block, interpret)
+    run1, run2 = _fourstep_kernels(modulus, log_n, block, interpret, chunk)
 
     def run(a):
         # (n, 16) natural -> limbs-major matrix A[:, i2, i1], i = i1 + n1*i2

@@ -142,3 +142,26 @@ def test_fourstep_matches_host(log_n, inverse):
     a = lf.encode(vals)
     out = _ntt_fourstep_jit(BN254_FR, log_n, inverse, 1 << (log_n // 2), True)(a)
     assert lf.decode(out) == ntt_host(vals, BN254_FR, inverse)
+
+
+@pytest.mark.parametrize("inverse", [False, True])
+@pytest.mark.parametrize("log_n", [8, 9])
+def test_fourstep_paired_chunks_match_host(log_n, inverse):
+    """The round-2 chunk-pair mul-sharing kernel paths: chunk=4 with
+    n2 = 16/32 rows exercises paired inter-chunk stages (h >= C, incl.
+    step_c > 1), paired intra-chunk packing (2h <= C), and the h == 1
+    twiddle-skip, which the default chunk=128 only reaches at n >= 2^16
+    (too slow for interpret mode).  DIF and DIT variants both covered."""
+    import random
+
+    from mira_tpu.ops.ntt import _ntt_fourstep_jit
+
+    lf = limb_field(BN254_FR)
+    rng = random.Random(4)
+    n = 1 << log_n
+    vals = [rng.randrange(BN254_FR) for _ in range(n)]
+    a = lf.encode(vals)
+    out = _ntt_fourstep_jit(
+        BN254_FR, log_n, inverse, 1 << (log_n // 2), True, chunk=4
+    )(a)
+    assert lf.decode(out) == ntt_host(vals, BN254_FR, inverse)

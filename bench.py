@@ -78,7 +78,7 @@ def main():
         # (BASELINE.md) — >1.0 means beating it.
         try:
             k = int(os.environ.get("MIRA_BENCH_IVC_K", "17"))
-            steps = int(os.environ.get("MIRA_BENCH_IVC_STEPS", "3"))
+            steps = int(os.environ.get("MIRA_BENCH_IVC_STEPS", "5"))
             from mira_tpu.curves.host import BN254_G1, GRUMPKIN
             from mira_tpu.ivc.ivc import IVC
             from mira_tpu.ivc.public_params import CircuitSide, PublicParams
@@ -100,7 +100,22 @@ def main():
                 t0 = time.perf_counter()
                 ivc.fold_step()
                 step_secs.append(time.perf_counter() - t0)
-            value = step_secs[-1]
+            # steady state: step 1 captures tapes + builds MSM tables, step 2
+            # may still land compiles — report the median of the tail so one
+            # tunnel hiccup can't masquerade as the steady-state number
+            # (VERDICT r2 item 3: assert flatness, report min-flat)
+            tail = sorted(step_secs[2:]) if steps > 3 else sorted(step_secs)
+            value = tail[len(tail) // 2]
+            flat = (
+                len(step_secs) >= 2
+                and abs(step_secs[-1] - step_secs[-2])
+                <= 0.2 * max(step_secs[-1], step_secs[-2])
+            )
+            if not flat:
+                print(
+                    f"warning: per-step times not flat: {step_secs}",
+                    file=sys.stderr,
+                )
             print(
                 json.dumps(
                     {
@@ -109,6 +124,7 @@ def main():
                         "unit": "s/step",
                         "vs_baseline": round(7.2 / value, 4),
                         "all_steps": [round(s, 1) for s in step_secs],
+                        "steady": flat,
                     }
                 )
             )
@@ -117,6 +133,40 @@ def main():
             print(f"ivc bench failed ({type(e).__name__}: {e}); "
                   "falling back to msm", file=sys.stderr)
             which = "msm"
+
+    if which == "ivc-snarkstar":
+        # VERDICT r2 item 8: SnarkStar (Groth16-verifier folding) at the
+        # reference's batch-1 scale — k=19 tables, REAL ck 2^23/2^24
+        # (/root/reference/examples/groth16/main.rs:47-77), real Groth16
+        # proofs + true Gt cross terms, strict verify inside run().
+        os.environ.setdefault("MIRA_MSM_FB_WINDOW", "5")  # halve table HBM
+        steps = int(os.environ.get("MIRA_BENCH_IVC_STEPS", "4"))
+        from mira_tpu.workloads.snarkstar import run as snarkstar_run
+
+        step_secs = snarkstar_run(
+            steps=steps, batch_size=1, use_mock_ck=False, real_proofs=True
+        )
+        tail = sorted(step_secs[2:]) if steps > 3 else sorted(step_secs)
+        value = tail[len(tail) // 2]
+        print(
+            json.dumps(
+                {
+                    "metric": f"snarkstar_fold_step_sec@k19-ck23/{backend}",
+                    "value": round(value, 2),
+                    "unit": "s/step",
+                    "vs_baseline": round(21.5 / value, 4),
+                    "all_steps": [round(s, 1) for s in step_secs],
+                }
+            )
+        )
+        return
+
+    if which == "scaling":
+        _scaling_driver()
+        return
+    if which == "scaling-worker":
+        _scaling_worker()
+        return
 
     import random
 
@@ -347,6 +397,155 @@ def main():
             }
         )
     )
+
+
+def _scaling_driver():
+    """Scaling-efficiency harness (BASELINE.json: ops/s scaling efficiency at
+    1 chip / 1 host / N hosts, >=80% target; substitutes for the rayon
+    parallelism of /root/reference/src/commitment.rs:66 and src/fft.rs:131).
+
+    Runs each sharded kernel at mesh sizes 1/2/4/8 in fresh subprocesses
+    (XLA device count is fixed at backend init) and reports
+    eff@n = throughput(n) / (n * throughput(1)) per kernel, one JSON line
+    each.  On real multi-chip hardware the same harness measures true ICI
+    scaling; on a virtual CPU mesh the devices share the host cores, so the
+    absolute efficiencies understate hardware behavior once n exceeds the
+    core count (noted in the output)."""
+    import subprocess
+
+    import jax
+
+    ndev_avail = jax.device_count()
+    sizes = [n for n in (1, 2, 4, 8)]
+    virtual = ndev_avail < 2  # single real device -> virtual CPU mesh
+    ncores = os.cpu_count() or 1
+    for kern in ("msm", "ntt", "fold"):
+        thr = {}
+        for n in sizes:
+            env = dict(os.environ)
+            env["MIRA_BENCH_METRIC"] = "scaling-worker"
+            env["MIRA_SCALING_N"] = str(n)
+            env["MIRA_SCALING_KERNEL"] = kern
+            if virtual:
+                env["JAX_PLATFORMS"] = "cpu"
+                env["MIRA_FORCE_CPU"] = "1"
+                env["XLA_FLAGS"] = (
+                    env.get("XLA_FLAGS", "")
+                    + f" --xla_force_host_platform_device_count={n}"
+                ).strip()
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if not line:
+                print(f"scaling worker failed (kern={kern} n={n}): "
+                      f"{r.stderr[-500:]}", file=sys.stderr)
+                continue
+            thr[n] = json.loads(line[-1])["throughput"]
+        if 1 not in thr:
+            continue
+        effs = {
+            n: round(thr[n] / (n * thr[1]), 4) for n in thr
+        }
+        top = max(n for n in thr)
+        mesh_kind = "cpu-virtual" if virtual else "device"
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_efficiency@{kern}/{mesh_kind}",
+                    "value": effs[top],
+                    "unit": f"eff@{top}dev",
+                    "vs_baseline": round(effs[top] / 0.8, 4),
+                    "throughput_per_mesh": {
+                        str(n): round(v, 1) for n, v in thr.items()
+                    },
+                    "eff_per_mesh": {str(n): effs[n] for n in effs},
+                    "note": (
+                        f"virtual mesh shares {ncores} host cores"
+                        if virtual else "real devices"
+                    ),
+                }
+            )
+        )
+
+
+def _scaling_worker():
+    """One (kernel, mesh size) throughput measurement; prints
+    {"throughput": ops_per_sec}."""
+    import random
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mira_tpu.fields.limbs import limb_field
+    from mira_tpu.fields.params import BN254_FR
+    from mira_tpu.parallel.mesh import AXIS, make_mesh
+
+    n_mesh = int(os.environ["MIRA_SCALING_N"])
+    kern = os.environ["MIRA_SCALING_KERNEL"]
+    mesh = make_mesh(n_mesh)
+    lf = limb_field(BN254_FR)
+    rng = random.Random(0)
+
+    if kern == "msm":
+        from mira_tpu.curves.host import BN254_G1, AffinePoint
+        from mira_tpu.curves.jax_curve import jacobian_ops
+        from mira_tpu.ops.msm import encode_scalars
+        from mira_tpu.parallel.msm import sharded_msm
+
+        n = 1 << int(os.environ.get("MIRA_SCALING_MSM_LOG_N", "10"))
+        pts = [AffinePoint.random(BN254_G1, rng) for _ in range(n)]
+        ops = jacobian_ops("bn254")
+        enc_pts = ops.encode_points(pts)
+        sc = encode_scalars(
+            [rng.randrange(BN254_G1.scalar_modulus) for _ in range(n)],
+            BN254_G1.scalar_modulus,
+        )
+
+        def run():
+            out = sharded_msm(sc, enc_pts, BN254_G1, mesh)
+            jax.block_until_ready(out)
+
+    elif kern == "ntt":
+        from mira_tpu.parallel.ntt import distributed_ntt
+
+        n = 1 << int(os.environ.get("MIRA_SCALING_NTT_LOG_N", "14"))
+        a = lf.encode([rng.randrange(BN254_FR) for _ in range(n)])
+
+        def run():
+            jax.block_until_ready(distributed_ntt(a, BN254_FR, mesh))
+
+    else:  # fold: row-sharded witness RLC + quadratic gate term
+        from functools import partial
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        n = 1 << int(os.environ.get("MIRA_SCALING_FOLD_LOG_N", "16"))
+        W = lf.encode([rng.randrange(BN254_FR) for _ in range(n)])
+        r = lf.encode([7])
+
+        @jax.jit
+        @partial(
+            shard_map, mesh=mesh, in_specs=(P(AXIS), P(None)),
+            out_specs=P(AXIS), check_vma=False,
+        )
+        def fold_rows(w, r_):
+            folded = lf.add(w, lf.mul(r_, w))
+            return lf.mul(folded, folded)
+
+        def run():
+            jax.block_until_ready(fold_rows(W, r))
+
+    run()  # compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        run()
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({"throughput": n / dt}))
 
 
 if __name__ == "__main__":

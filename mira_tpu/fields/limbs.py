@@ -29,6 +29,16 @@ NUM_LIMBS = 16
 MASK = (1 << LIMB_BITS) - 1
 
 
+def _native_encode_min() -> int:
+    """Batch size above which CPU-host Montgomery encodes route to the
+    native 4x64 kernel instead of XLA:CPU.  MIRA_NATIVE_ENCODE_MIN=1 forces
+    native for everything — the multichip dryrun uses it to avoid one-off
+    XLA:CPU compiles for host-side reference values."""
+    import os
+
+    return int(os.environ.get("MIRA_NATIVE_ENCODE_MIN", "4096"))
+
+
 def int_to_limbs(v: int) -> np.ndarray:
     return np.array(
         [(v >> (LIMB_BITS * i)) & MASK for i in range(NUM_LIMBS)], dtype=np.uint32
@@ -137,7 +147,7 @@ class LimbField:
         raw16 = ints_to_limbs([v if 0 <= v < m else v % m for v in vals])
         if raw16.shape[0] == 0:
             return jnp.asarray(raw16, dtype=jnp.uint32)
-        if len(vals) >= 4096:
+        if len(vals) >= _native_encode_min():
             import jax
 
             if jax.default_backend() == "cpu":
@@ -165,7 +175,7 @@ class LimbField:
         if raw16.shape[0] == 0:
             return jnp.asarray(raw16, dtype=jnp.uint32)
         m = self.modulus
-        if raw16.shape[0] >= 4096:
+        if raw16.shape[0] >= _native_encode_min():
             import jax
 
             if jax.default_backend() == "cpu":
@@ -202,10 +212,24 @@ class LimbField:
     def decode(self, arr) -> list:
         """Montgomery limb array -> Python ints (canonical).
 
-        From-Montgomery = one device CIOS by plain 1 (vR * 1 * R^-1 = v)."""
+        From-Montgomery = one device CIOS by plain 1 (vR * 1 * R^-1 = v);
+        on CPU hosts large batches route to the native 4x64 kernel."""
         arr = jnp.asarray(arr).reshape(-1, NUM_LIMBS)
         if arr.shape[0] == 0:
             return []
+        if arr.shape[0] >= _native_encode_min():
+            import jax
+
+            if jax.default_backend() == "cpu":
+                try:
+                    from .native64 import available, from_mont16
+
+                    if available():
+                        return limbs_to_ints(
+                            from_mont16(self.modulus, np.asarray(arr))
+                        )
+                except ImportError:  # pragma: no cover
+                    pass
         raw = self.mul(arr, jnp.asarray(self.one_plain_np, dtype=jnp.uint32)[None])
         return limbs_to_ints(np.asarray(raw))
 

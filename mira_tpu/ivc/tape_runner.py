@@ -155,15 +155,27 @@ def flatten_step_inputs(si: StepInputs, step_circuit) -> List[int]:
     return vals
 
 
+_UID = __import__("itertools").count()
+
+
 @dataclasses.dataclass
 class CapturedSynthesis:
     tape: Tape
     advice_template: List[List[int]]  # captured columns incl. static cells
     num_advice: int
     k: int
+    modulus: int = 0  # witness scalar field (for the device-resident path)
     packed_template: object = None  # lazy (num_advice*nrow, 16) uint32
     packed_positions: object = None  # flat cell index per dynamic write
     used_rows: int = -1  # nonzero row extent over all columns
+    # device-resident replay (table/packed.py DeviceWitness), built lazily:
+    dev_template_mont: object = None  # (num_advice*nrow, 16) Montgomery
+    dev_template_vals: object = None  # (nwrites, 16) Montgomery @ positions
+    dev_positions: object = None  # (nwrites,) int32, device
+    dev_positions_np: object = None  # same, host
+    dev_keep: object = None  # dedup (last-write-wins) index selector
+    dev_static_slots: object = None  # [(input slot)] for static input writes
+    uid: int = dataclasses.field(default_factory=lambda: next(_UID))
 
 
 def capture_sfc(k: int, sfc: StepFoldingCircuit, instance: List[int], curve):
@@ -185,6 +197,7 @@ def capture_sfc(k: int, sfc: StepFoldingCircuit, instance: List[int], curve):
         advice_template=[col.copy() for col in table.advice],
         num_advice=cs.num_advice,
         k=k,
+        modulus=curve.scalar_modulus,
     )
     return captured, table.advice
 
@@ -209,6 +222,13 @@ def replay_sfc(
         )
 
         if tape_vm_available():
+            dev = os.environ.get("MIRA_DEVICE_WITNESS", "auto")
+            if dev == "auto":
+                import jax
+
+                dev = "1" if jax.default_backend() != "cpu" else "0"
+            if dev == "1":
+                return _replay_device(captured, inputs)
             if os.environ.get("MIRA_PACKED_WITNESS", "1") == "1":
                 return _replay_packed(captured, inputs)
             vals, prep = tape_vm_write_values(tape, inputs)
@@ -227,6 +247,98 @@ def replay_sfc(
     for col, row, slot in tape.writes:
         advice[col][row] = slots[slot]
     return advice
+
+
+def _replay_device(
+    captured: CapturedSynthesis, inputs: List[int]
+):
+    """Native VM -> DeviceWitness: per-step host->device traffic is only the
+    dynamic cell values ((nwrites, 16) uint16 limbs); the Montgomery template
+    and the write positions live on device, built once per tape.  Enables
+    CommitmentKey.commit_delta (MSM over nwrites points instead of
+    num_cols*2^k)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..fields.limbs import NUM_LIMBS, limb_field
+    from ..table.packed import DeviceWitness, PackedWitness, pack_int_cols
+    from ..utils.native_lib import tape_vm_run_raw
+
+    nrow = 1 << captured.k
+    lf = limb_field(captured.modulus)
+    out_buf, prep = tape_vm_run_raw(captured.tape, inputs)
+
+    if captured.dev_positions is None:  # one-time per tape
+        writes = captured.tape.writes
+        dyn_pos = np.asarray(
+            [
+                writes[w_idx][0] * nrow + writes[w_idx][1]
+                for w_idx in prep["dyn_writes"]
+            ],
+            dtype=np.int64,
+        )
+        static_pos = np.asarray(
+            [
+                writes[w_idx][0] * nrow + writes[w_idx][1]
+                for w_idx, _slot in prep["static_input_writes"]
+            ],
+            dtype=np.int64,
+        )
+        combined = np.concatenate([dyn_pos, static_pos])
+        # scatter/delta need each position once; keep the LAST write per
+        # cell (matches the sequential host-scatter semantics), then order
+        # by position — sorted unique indices let XLA:TPU vectorize the
+        # scatter (indices_are_sorted/unique_indices in encode_mont)
+        _, keep = np.unique(combined[::-1], return_index=True)
+        keep = len(combined) - 1 - keep  # last-occurrence indices
+        captured.dev_keep = keep[np.argsort(combined[keep], kind="stable")]
+        positions = combined[captured.dev_keep]
+        captured.dev_positions_np = positions
+        captured.dev_positions = jnp.asarray(positions, dtype=jnp.int32)
+        captured.dev_static_slots = [
+            slot for _w, slot in prep["static_input_writes"]
+        ]
+        if captured.packed_template is None:
+            captured.packed_template = pack_int_cols(
+                captured.advice_template, nrow
+            ).raw16
+        pw = PackedWitness(
+            captured.packed_template, captured.num_advice, nrow
+        )
+        captured.dev_template_mont = pw.encode_mont(lf)
+        captured.dev_template_vals = captured.dev_template_mont[
+            captured.dev_positions
+        ]
+
+    # (ndyn, 16) uint16 view of the VM output — upload halves vs uint32
+    dyn16 = out_buf.view("<u2").reshape(-1, NUM_LIMBS)
+    if captured.dev_static_slots:
+        static16 = np.zeros(
+            (len(captured.dev_static_slots), NUM_LIMBS), dtype="<u2"
+        )
+        for i, slot in enumerate(captured.dev_static_slots):
+            v = int(inputs[slot])
+            static16[i] = [(v >> (16 * j)) & 0xFFFF for j in range(NUM_LIMBS)]
+        all16 = np.concatenate([dyn16, static16])
+    else:
+        all16 = dyn16
+    all16 = all16[captured.dev_keep]
+    from ..utils.tracing import span
+
+    with span("replay_upload"):
+        vals16 = jnp.asarray(all16).astype(jnp.uint32)
+
+    return DeviceWitness(
+        lf,
+        captured,
+        captured.dev_template_mont,
+        captured.dev_template_vals,
+        captured.dev_positions,
+        captured.dev_positions_np,
+        vals16,
+        captured.num_advice,
+        nrow,
+    )
 
 
 def _replay_packed(captured: CapturedSynthesis, inputs: List[int]):

@@ -293,7 +293,17 @@ class VanillaFS:
                 cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         with span("cross_term_commit"):
-            g1_commits = [ck.commit_device(t, mesh=mesh) for t in cross_terms]
+            if assume_sat and d >= 1:
+                # T_d = 0 on satisfied traces (leading-coefficient
+                # invariant) — its commitment is the identity, no MSM
+                g1_commits = [
+                    ck.commit_device(t, mesh=mesh) for t in cross_terms[:-1]
+                ]
+                g1_commits.append(AffinePoint.identity(S.curve))
+            else:
+                g1_commits = [
+                    ck.commit_device(t, mesh=mesh) for t in cross_terms
+                ]
         ctx = getattr(S, "groth16_ctx", None)
         if ctx is not None:
             # real bilinear pairing cross terms (snark/groth16.py) — the
@@ -336,9 +346,12 @@ class VanillaFS:
     @staticmethod
     @instrument
     def generate_plonk_trace(
-        ck, instance, witness, pp: VanillaFSProverParam, ro_nark, rng=None
+        ck, instance, witness, pp: VanillaFSProverParam, ro_nark, rng=None,
+        mesh=None,
     ) -> PlonkTrace:
-        return pp.S.run_sps_protocol(ck, instance, witness, ro_nark, rng=rng)
+        return pp.S.run_sps_protocol(
+            ck, instance, witness, ro_nark, rng=rng, mesh=mesh
+        )
 
     @staticmethod
     @instrument
@@ -361,7 +374,7 @@ class VanillaFS:
             pp.pp_digest, ro_acc, U1, U2, g1_commits, gt_commits
         )
         U = U1.fold(U2, g1_commits, gt_commits, r)
-        W = W1.fold(W2, cross_terms, r)
+        W = W1.fold(W2, cross_terms, r, mesh=mesh)
         return RelaxedPlonkTrace(U, W), (g1_commits, gt_commits)
 
     @staticmethod

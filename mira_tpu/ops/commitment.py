@@ -86,6 +86,7 @@ class CommitmentKey:
         self._enc_cache = None
         self._fb_tables = {}  # MSM width -> (window, device table)
         self._fb_bytes = 0
+        self._delta_cache = {}  # tape id -> (C_template, table, window, npts)
 
     def __len__(self):
         return self._limbs.shape[0]
@@ -105,16 +106,25 @@ class CommitmentKey:
     @property
     def _enc(self):
         """(X, Y, Z) Montgomery device limb arrays (Jacobian, Z=1)."""
-        if self._enc_cache is None:
+        return self._enc_slice(len(self))
+
+    def _enc_slice(self, n: int):
+        """Montgomery device encoding of the FIRST n key points, growing the
+        cached prefix on demand — large keys (SnarkStar ck 2^23-2^24) never
+        pay device HBM for points past the largest MSM width actually
+        used."""
+        cached_n = self._enc_cache[0].shape[0] if self._enc_cache else 0
+        if n > cached_n:
             lf = limb_field(self.curve.base_modulus)
-            n = len(self)
-            X = lf.encode_raw16(self._limbs[:, 0])
-            Y = lf.encode_raw16(self._limbs[:, 1])
+            X = lf.encode_raw16(self._limbs[:n, 0])
+            Y = lf.encode_raw16(self._limbs[:n, 1])
             Z = jnp.broadcast_to(
                 jnp.asarray(lf.one_mont_np, dtype=jnp.uint32), (n, NUM_LIMBS)
             )
             self._enc_cache = (X, Y, Z)
-        return self._enc_cache
+        if n == (self._enc_cache[0].shape[0]):
+            return self._enc_cache
+        return tuple(c[:n] for c in self._enc_cache)
 
     @classmethod
     def from_points(cls, curve: CurveParams, points: List[AffinePoint]):
@@ -171,7 +181,7 @@ class CommitmentKey:
         sc = encode_scalars(values, self.curve.scalar_modulus)
         return self._commit_plain_limbs(sc)
 
-    def commit_device(self, witness_mont, mesh=None) -> AffinePoint:
+    def commit_device(self, witness_mont, mesh=None, allow_fb=True) -> AffinePoint:
         """Commit to a device Montgomery limb vector (the hot path).
 
         Backend dispatch: the device MSM runs on TPU (or when MIRA_MSM=device);
@@ -202,7 +212,7 @@ class CommitmentKey:
             if n_pad > n:
                 pad = np.zeros((n_pad - n, NUM_LIMBS), dtype=np.uint32)
                 scalars = jnp.concatenate([scalars, jnp.asarray(pad)], axis=0)
-            pts = tuple(c[:n_pad] for c in self._enc)
+            pts = self._enc_slice(n_pad)
             out = sharded_msm(scalars, pts, self.curve, mesh)
             ops = jacobian_ops(self.curve.name)
             return ops.decode_points(tuple(c[None] for c in out))[0]
@@ -220,9 +230,117 @@ class CommitmentKey:
                 from ..curves.host import msm_host_pippenger
 
                 return msm_host_pippenger(vals, self.points[:n])
-        return self._commit_plain_limbs(lf.to_plain(witness_mont))
+        return self._commit_plain_limbs(lf.to_plain(witness_mont), allow_fb)
 
-    def _commit_plain_limbs(self, scalars) -> AffinePoint:
+    def commit_delta(self, dw) -> AffinePoint:
+        """Incremental commitment for a tape-replayed DeviceWitness
+        (table/packed.py): the witness differs from its captured template
+        only at the tape's write positions, so
+
+            C(W) = C(template) + MSM(value - template_value @ positions).
+
+        The per-step MSM runs over nwrites points (~250k for the k=17 SFC)
+        instead of num_cols*2^k (~2M) — the positions are FIXED per tape, so
+        the gathered key points get their own fixed-base multiples table,
+        built once.  Replaces the reference's full best_multiexp per SPS
+        round (/root/reference/src/plonk/mod.rs:653-907) in the IVC steady
+        state."""
+        import jax
+
+        lf = limb_field(self.curve.scalar_modulus)
+        # CapturedSynthesis carries a process-unique uid (id() could be
+        # reused after GC and alias a stale cache entry)
+        token = getattr(dw.cache_token, "uid", None)
+        if token is None:
+            token = id(dw.cache_token)
+        entry = self._delta_cache.get(token)
+        if entry is None:
+            # one-time: template commitment (no point building a full-width
+            # multiples table for a single MSM) + delta-position key table
+            C_t = self.commit_device(dw.template_mont, allow_fb=False)
+            pos = dw.positions_np
+            block = 256
+            npad = (-len(pos)) % block
+            if npad:
+                # pad with repeats of position 0; their scalars are always
+                # zero (exact no-ops in the kernel)
+                pos = np.concatenate(
+                    [pos, np.zeros(npad, dtype=pos.dtype)]
+                )
+            on_accel = jax.default_backend() not in ("cpu",)
+            table = window = None
+            if on_accel and os.environ.get("MIRA_MSM_FB", "1") != "0":
+                from .pallas_msm import precompute_fixed_table
+
+                # w=5 (2 KB/pt) over w=6: within 12% of the w=6 rate on
+                # these ~250k-point MSMs while halving table HBM, and the
+                # small build chunk caps the build transients (the w=6
+                # 2^18-chunk build transiently held ~4 GB and OOMed the
+                # tunnel-attached v5e)
+                window = 5
+                nbytes = 2 * (1 << (window - 1)) * 64 * len(pos)
+                budget = int(
+                    os.environ.get("MIRA_MSM_FB_BUDGET_MB", "6144")
+                ) << 20
+                if self._fb_bytes + nbytes <= budget:
+                    sub = self._limbs[pos]
+                    lfq = limb_field(self.curve.base_modulus)
+                    X = lfq.encode_raw16(sub[:, 0])
+                    Y = lfq.encode_raw16(sub[:, 1])
+                    Z = jnp.broadcast_to(
+                        jnp.asarray(lfq.one_mont_np, dtype=jnp.uint32),
+                        (len(pos), NUM_LIMBS),
+                    )
+                    table = precompute_fixed_table(
+                        (X, Y, Z), self.curve, window, chunk=1 << 15
+                    )
+                    self._fb_bytes += nbytes
+                else:
+                    window = None
+            entry = (C_t, table, window, len(pos) - npad, npad)
+            self._delta_cache[token] = entry
+        C_t, table, window, npts, npad = entry
+        from ..utils.tracing import span
+
+        _sync = os.environ.get("MIRA_SYNC_SPANS") == "1"
+
+        def fence(x):
+            if _sync:
+                import jax as _jax
+
+                _jax.block_until_ready(x)
+            return x
+
+        with span("delta_scalars"):
+            delta = fence(lf.to_plain(dw.delta_mont()))
+        if npad:
+            delta = jnp.concatenate(
+                [delta, jnp.zeros((npad, NUM_LIMBS), jnp.uint32)], axis=0
+            )
+        ops = jacobian_ops(self.curve.name)
+        if table is not None:
+            from .pallas_msm import msm_pallas_fixed
+
+            with span("delta_msm"):
+                out = fence(msm_pallas_fixed(delta, table, self.curve, window))
+            with span("delta_decode"):
+                d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
+        else:
+            # host fallback (CPU backends / tables disabled)
+            vals = lf.decode(dw.delta_mont())
+            idx = dw.positions_np
+            from .native_msm import available, msm_native
+
+            pts = [self.points[int(i)] for i in idx]
+            if available():
+                d_pt = msm_native(vals, pts)
+            else:
+                from ..curves.host import msm_host_pippenger
+
+                d_pt = msm_host_pippenger(vals, pts)
+        return C_t.add(d_pt)
+
+    def _commit_plain_limbs(self, scalars, allow_fb: bool = True) -> AffinePoint:
         n = scalars.shape[0]
         # pad to the next power of two with zero scalars: collapses the set of
         # distinct MSM shapes (and therefore XLA compiles) to log-many
@@ -234,7 +352,7 @@ class CommitmentKey:
             pad = np.zeros((n_pad - n, scalars.shape[1]), dtype=np.uint32)
             scalars = jnp.concatenate([scalars, jnp.asarray(pad)], axis=0)
         ops = jacobian_ops(self.curve.name)
-        pts = tuple(c[:n_pad] for c in self._enc)
+        pts = self._enc_slice(n_pad)
         backend = os.environ.get("MIRA_MSM", "auto")
         use_pallas = backend == "pallas"
         if backend == "auto":
@@ -245,7 +363,7 @@ class CommitmentKey:
             # trivial runtime)
             use_pallas = jax.default_backend() not in ("cpu",) and n_pad >= 4096
         if use_pallas:
-            tab = self._fixed_table(n_pad)
+            tab = self._fixed_table(n_pad) if allow_fb else None
             if tab is not None:
                 from .pallas_msm import msm_pallas_fixed
 
@@ -276,13 +394,18 @@ class CommitmentKey:
             return hit
         from .pallas_msm import fixed_base_window, precompute_fixed_table
 
-        window = fixed_base_window(n)
+        # MIRA_MSM_FB_WINDOW overrides the size-based window choice — large
+        # workloads (SnarkStar k=19, ck 2^23/2^24) use w=5 to halve table HBM
+        window = int(
+            os.environ.get("MIRA_MSM_FB_WINDOW", "0")
+        ) or fixed_base_window(n)
         nbytes = 2 * (1 << (window - 1)) * 64 * n
         budget = int(os.environ.get("MIRA_MSM_FB_BUDGET_MB", "6144")) << 20
         if self._fb_bytes + nbytes > budget:
             return None
-        pts = tuple(c[:n] for c in self._enc)
-        table = precompute_fixed_table(pts, self.curve, window)
+        pts = self._enc_slice(n)
+        table = precompute_fixed_table(pts, self.curve, window,
+                                       chunk=1 << 15)
         self._fb_tables[n] = (window, table)
         self._fb_bytes += nbytes
         return self._fb_tables[n]

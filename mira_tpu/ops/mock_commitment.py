@@ -44,6 +44,11 @@ class MockCommitmentKey:
             acc += w * v
         return self._gen.scalar_mul(acc % r)
 
+    def commit_delta(self, dw) -> AffinePoint:
+        """DeviceWitness path: the mock key has no point table to gather, so
+        just commit the scattered full witness."""
+        return self.commit_device(dw.encode_mont(dw.lf))
+
     def commit_device(self, witness_mont, mesh=None) -> AffinePoint:
         r = self.curve.scalar_modulus
         try:

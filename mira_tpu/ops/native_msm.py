@@ -72,6 +72,35 @@ def _pack_u64x4(vals):
     return arr
 
 
+def msm_native_raw(
+    sc_u64x4, xs_u64x4, ys_u64x4, base_modulus: int,
+    window: int = 0, nthreads: int = 0,
+):
+    """Raw-buffer MSM: (n, 4) uint64 little-endian plain scalars and affine
+    coordinates ((0, 0) = infinity) -> (3, 4) uint64 plain Jacobian result.
+    numpy in / numpy out — the per-shard engine of the CPU-mesh sharded MSM
+    (parallel/msm.py), where per-value python object round trips would
+    dominate."""
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native MSM library unavailable (no g++?)")
+    sc = np.ascontiguousarray(sc_u64x4, dtype=np.uint64)
+    xs = np.ascontiguousarray(xs_u64x4, dtype=np.uint64)
+    ys = np.ascontiguousarray(ys_u64x4, dtype=np.uint64)
+    n = sc.shape[0]
+    assert sc.shape == (n, 4) and xs.shape == (n, 4) and ys.shape == (n, 4)
+    mod = _pack_u64x4([base_modulus])
+    out = (ctypes.c_uint64 * 12)()
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.mira_msm(
+        sc.ctypes.data_as(u64p), xs.ctypes.data_as(u64p),
+        ys.ctypes.data_as(u64p), n, mod, window, nthreads, out,
+    )
+    return np.ctypeslib.as_array(out).reshape(3, 4).copy()
+
+
 def msm_native(scalars, points, window: int = 0, nthreads: int = 0):
     """scalars: list[int]; points: list[AffinePoint] (same curve).
     Returns AffinePoint.  Raises RuntimeError if the library is unavailable."""

@@ -274,10 +274,14 @@ def _fourstep_kernels(modulus: int, log_n: int, block: int, interpret: bool,
         order = list(stage_ids) if dif else list(reversed(list(stage_ids)))
 
         def rolldn(x, h):  # [p] = x[p+h] (partner below)
-            return jnp.concatenate([x[:, h:], x[:, :h]], axis=1)
+            if interpret:
+                return jnp.concatenate([x[:, h:], x[:, :h]], axis=1)
+            return pltpu.roll(x, shift=(C - h) % C, axis=1)
 
         def rollup(x, h):  # [p] = x[p-h] (partner above)
-            return jnp.concatenate([x[:, C - h:], x[:, :C - h]], axis=1)
+            if interpret:
+                return jnp.concatenate([x[:, C - h:], x[:, :C - h]], axis=1)
+            return pltpu.roll(x, shift=h, axis=1)
 
         for si, s in enumerate(order):
             h = m >> (s + 1)

@@ -55,15 +55,63 @@ def _lane_msm(ops, scalars, pts, num_bits):
     return tuple(c[:1] for c in acc)
 
 
+def _native_shard_callback(curve):
+    """Per-shard host MSM via the native C++ Pippenger, wrapped for
+    jax.pure_callback: Montgomery limb shards in, a Montgomery Jacobian
+    partial out.  This is the CPU-host analog of the per-shard Pallas
+    kernel — the mesh program (sharding + all_gather + tree reduction)
+    stays identical to the TPU path, only the local engine differs, the
+    same way the reference's rayon sits under its MSM
+    (/root/reference/src/commitment.rs:78-87)."""
+    import numpy as np
+
+    from ..fields.native64 import (
+        from_mont16,
+        limbs16_to_64,
+        limbs64_to_16,
+        to_mont,
+    )
+    from ..ops.native_msm import msm_native_raw
+
+    p = curve.base_modulus
+
+    def cb(scalars, X, Y, Z):
+        sc64 = limbs16_to_64(np.asarray(scalars, dtype=np.uint32))
+        x_pl = limbs16_to_64(from_mont16(p, np.asarray(X, dtype=np.uint32)))
+        y_pl = limbs16_to_64(from_mont16(p, np.asarray(Y, dtype=np.uint32)))
+        z_pl = limbs16_to_64(from_mont16(p, np.asarray(Z, dtype=np.uint32)))
+        # precondition: affine (z == 1) or infinity (z == 0) lanes only —
+        # every sharded caller feeds commitment-key/affine-encoded points
+        is_inf = ~z_pl.any(axis=1)
+        is_one = (z_pl[:, 0] == 1) & ~z_pl[:, 1:].any(axis=1)
+        if not bool(np.all(is_inf | is_one)):
+            raise ValueError("native shard MSM requires affine points")
+        if bool(is_inf.any()):
+            sc64 = np.where(is_inf[:, None], 0, sc64)
+            x_pl = np.where(is_inf[:, None], 0, x_pl)
+            y_pl = np.where(is_inf[:, None], 0, y_pl)
+        jac = msm_native_raw(sc64, x_pl, y_pl, p)  # (3, 4) u64 plain
+        out = limbs64_to_16(to_mont(p, jac.astype(np.uint64)))
+        return (
+            out[0:1].astype(np.uint32),
+            out[1:2].astype(np.uint32),
+            out[2:3].astype(np.uint32),
+        )
+
+    return cb
+
+
 @lru_cache(maxsize=None)
 def _sharded_msm_jit(curve_name: str, num_bits: int, mesh: Mesh,
                      method: str, block: int):
     ops = jacobian_ops(curve_name)
-    if method == "pippenger":
-        from ..curves.host import BN254_G1, GRUMPKIN
-        from ..ops.pallas_msm import msm_pallas
+    from ..curves.host import BN254_G1, GRUMPKIN
 
-        curve = BN254_G1 if curve_name == "bn254" else GRUMPKIN
+    curve = BN254_G1 if curve_name == "bn254" else GRUMPKIN
+    if method == "pippenger":
+        from ..ops.pallas_msm import msm_pallas
+    if method == "native":
+        native_cb = _native_shard_callback(curve)
 
     @partial(
         shard_map,
@@ -80,6 +128,13 @@ def _sharded_msm_jit(curve_name: str, num_bits: int, mesh: Mesh,
                 for c in msm_pallas(scalars, pts, curve, block=block,
                                     method="pippenger")
             )  # triple of (1, L)
+        elif method == "native":
+            import jax.numpy as jnp
+
+            shape = jax.ShapeDtypeStruct((1, NUM_LIMBS), jnp.uint32)
+            part = jax.pure_callback(
+                native_cb, (shape, shape, shape), scalars, *pts
+            )
         else:
             part = _lane_msm(ops, scalars, pts, num_bits)  # triple of (1, L)
         # gather all shards' partials and tree-reduce locally (point addition
@@ -98,14 +153,20 @@ def sharded_msm(scalars, points, curve: CurveParams, mesh: Mesh,
     N must divide evenly across the mesh. Returns a Jacobian triple.
 
     method="pippenger" runs the shared-Horner Pippenger Pallas kernel per
-    shard; "lane" is the pure-XLA double-and-add. "auto" picks Pippenger on
-    TPU and the lane method elsewhere (interpret-mode Pallas on a CPU mesh is
-    correct but slow — only the dedicated test exercises it)."""
+    shard; "native" routes each shard through the C++ host Pippenger via
+    pure_callback (CPU meshes — same mesh program, host-appropriate local
+    engine); "lane" is the pure-XLA double-and-add fallback.  "auto" picks
+    Pippenger on accelerators and native (lane if no toolchain) on CPU."""
     import jax
 
     if method == "auto":
         # axon/tpu backends report non-"cpu"; mirror pallas_msm's detection
-        method = "lane" if jax.default_backend() == "cpu" else "pippenger"
+        if jax.default_backend() == "cpu":
+            from ..ops.native_msm import available as _nat_ok
+
+            method = "native" if _nat_ok() else "lane"
+        else:
+            method = "pippenger"
     num_bits = curve.scalar_modulus.bit_length()
     return _sharded_msm_jit(curve.name, num_bits, mesh, method, block)(
         scalars, points

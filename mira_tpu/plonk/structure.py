@@ -353,25 +353,31 @@ class PlonkStructure:
         )
 
     def run_sps_protocol(
-        self, ck, instance: List[int], advice: List[List[int]], ro_nark, rng=None
+        self, ck, instance: List[int], advice: List[List[int]], ro_nark,
+        rng=None, mesh=None,
     ) -> "PlonkTrace":
         """advice: raw advice columns (each 2^k ints), or a PackedWitness
-        (witness-tape replay output, table/packed.py)."""
-        from ..table.packed import PackedWitness
+        (witness-tape replay output, table/packed.py).  With a mesh, the
+        witness commitments ride the sharded MSM — the multi-chip analog of
+        the reference's best_multiexp calls in run_sps_protocol
+        (/root/reference/src/plonk/mod.rs:653-907)."""
+        from ..table.packed import DeviceWitness, PackedWitness
 
         rng = rng or random.Random(0x5050)
         n = self.num_challenges
-        if isinstance(advice, PackedWitness) and n != 0:
-            # lookup coefficient rounds read int columns
+        if isinstance(advice, (PackedWitness, DeviceWitness)) and n >= 2:
+            # only the lookup coefficient rounds (SPS-2/3) read int columns;
+            # SPS-1 (gate-compression challenge, no lookups) commits the
+            # packed/device witness directly
             advice = advice.to_int_cols()
         if n == 0:
-            return self._sps_0(ck, instance, advice, rng)
+            return self._sps_0(ck, instance, advice, rng, mesh=mesh)
         if n == 1:
-            return self._sps_1(ck, instance, advice, ro_nark, rng)
+            return self._sps_1(ck, instance, advice, ro_nark, rng, mesh=mesh)
         if n == 2:
-            return self._sps_2(ck, instance, advice, ro_nark, rng)
+            return self._sps_2(ck, instance, advice, ro_nark, rng, mesh=mesh)
         if n == 3:
-            return self._sps_3(ck, instance, advice, ro_nark, rng)
+            return self._sps_3(ck, instance, advice, ro_nark, rng, mesh=mesh)
         raise ValueError(f"unsupported challenge count {n}")
 
     def _concat_pad(self, cols: List[List[int]]) -> List[int]:
@@ -394,21 +400,27 @@ class PlonkStructure:
         g2 = [G2Point.random(rng, Fb) for _ in range(self.num_g2_elems)]
         return g1, g2
 
-    def _sps_0(self, ck, instance, advice, rng) -> "PlonkTrace":
-        from ..table.packed import PackedWitness
+    def _sps_0(self, ck, instance, advice, rng, mesh=None) -> "PlonkTrace":
+        from ..table.packed import DeviceWitness, PackedWitness
 
         lf = self.lf
         with span("witness_encode"):
-            if isinstance(advice, PackedWitness):
+            if isinstance(advice, (PackedWitness, DeviceWitness)):
                 # packed fast path: raw limb planes straight into the
-                # Montgomery encode, no python-int round trip, and only
-                # the used row prefix is converted
+                # Montgomery encode, no python-int round trip; the
+                # DeviceWitness variant is one device scatter into a
+                # cached Montgomery template (table/packed.py)
                 assert advice.nrow == 1 << self.k
                 W1 = advice.encode_mont(lf)
             else:
                 W1 = lf.encode_padded(advice, 1 << self.k)
         with span("witness_commit"):
-            C1 = ck.commit_device(W1)
+            if isinstance(advice, DeviceWitness) and mesh is None:
+                # incremental commit: template commitment + an MSM over
+                # only the tape's write positions (ops/commitment.py)
+                C1 = ck.commit_delta(advice)
+            else:
+                C1 = ck.commit_device(W1, mesh=mesh)
         with span("sps_group_elements"):
             g1, g2 = self._random_group_elements(rng)
         return PlonkTrace(
@@ -416,8 +428,8 @@ class PlonkStructure:
             w=PlonkWitness(lf, [W1]),
         )
 
-    def _sps_1(self, ck, instance, advice, ro_nark, rng) -> "PlonkTrace":
-        trace = self._sps_0(ck, instance, advice, rng)
+    def _sps_1(self, ck, instance, advice, ro_nark, rng, mesh=None) -> "PlonkTrace":
+        trace = self._sps_0(ck, instance, advice, rng, mesh=mesh)
         base = field(self.curve.base_modulus)
         scalar = field(self.modulus)
         for inst in instance:
@@ -428,7 +440,7 @@ class PlonkStructure:
         trace.u.challenges.append(r1)
         return trace
 
-    def _sps_2(self, ck, instance, advice, ro_nark, rng) -> "PlonkTrace":
+    def _sps_2(self, ck, instance, advice, ro_nark, rng, mesh=None) -> "PlonkTrace":
         lf = self.lf
         base = field(self.curve.base_modulus)
         scalar = field(self.modulus)
@@ -442,7 +454,7 @@ class PlonkStructure:
         W1 = lf.encode_padded(
             list(advice) + list(_interleave3(ls, ts, ms)), 1 << self.k
         )
-        cm1 = ck.commit_device(W1)
+        cm1 = ck.commit_device(W1, mesh=mesh)
         for inst in instance:
             ro_nark.absorb_field(base(inst % self.curve.base_modulus))
         ro_nark.absorb_point(cm1)
@@ -450,7 +462,7 @@ class PlonkStructure:
         # round 2
         hs, gs = self._lookup_coeff_2(ls, ts, ms, r1)
         W2 = lf.encode_padded(_interleave(hs, gs), 1 << self.k)
-        cm2 = ck.commit_device(W2)
+        cm2 = ck.commit_device(W2, mesh=mesh)
         ro_nark.absorb_point(cm2)
         r2 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
         g1, g2 = self._random_group_elements(rng)
@@ -459,7 +471,7 @@ class PlonkStructure:
             w=PlonkWitness(lf, [W1, W2]),
         )
 
-    def _sps_3(self, ck, instance, advice, ro_nark, rng) -> "PlonkTrace":
+    def _sps_3(self, ck, instance, advice, ro_nark, rng, mesh=None) -> "PlonkTrace":
         lf = self.lf
         base = field(self.curve.base_modulus)
         scalar = field(self.modulus)
@@ -467,20 +479,20 @@ class PlonkStructure:
             ro_nark.absorb_field(base(inst % self.curve.base_modulus))
         # round 1: advice only
         W1 = lf.encode_padded(advice, 1 << self.k)
-        cm1 = ck.commit_device(W1)
+        cm1 = ck.commit_device(W1, mesh=mesh)
         ro_nark.absorb_point(cm1)
         r1 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
         # round 2: l/t/m with vector compression challenge r1 (interleaved, see
         # the layout note in _sps_2)
         ls, ts, ms = self._lookup_coeff_1(advice, r1)
         W2 = lf.encode_padded(_interleave3(ls, ts, ms), 1 << self.k)
-        cm2 = ck.commit_device(W2)
+        cm2 = ck.commit_device(W2, mesh=mesh)
         ro_nark.absorb_point(cm2)
         r2 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
         # round 3: h/g
         hs, gs = self._lookup_coeff_2(ls, ts, ms, r2)
         W3 = lf.encode_padded(_interleave(hs, gs), 1 << self.k)
-        cm3 = ck.commit_device(W3)
+        cm3 = ck.commit_device(W3, mesh=mesh)
         ro_nark.absorb_point(cm3)
         r3 = ro_nark.squeeze(scalar, NUM_CHALLENGE_BITS).v
         g1, g2 = self._random_group_elements(rng)
@@ -761,10 +773,15 @@ class RelaxedPlonkWitness:
     def zeros(cls, lf, k, round_sizes):
         return cls(lf, [lf.zero((sz,)) for sz in round_sizes], lf.zero((1 << k,)))
 
-    def fold(self, W2: PlonkWitness, cross_terms: List, r: int) -> "RelaxedPlonkWitness":
+    def fold(self, W2: PlonkWitness, cross_terms: List, r: int,
+             mesh=None) -> "RelaxedPlonkWitness":
         """W' = W1 + r*W2; E' = E + sum_k r^k T_k (reference plonk/mod.rs:1097),
         as ONE fused program per shape instead of ~16 separate RLC passes.
-        On CPU hosts the RLC runs on the native 4x64 Montgomery kernel."""
+        On CPU hosts the RLC runs on the native 4x64 Montgomery kernel.
+
+        With a mesh, operands are row-sharded and GSPMD partitions the
+        (purely elementwise) RLC across the devices — the multi-chip analog
+        of the reference's rayon par_iter at plonk/mod.rs:1104,1122."""
         lf = self.lf
         p = lf.modulus
         rpows = []
@@ -774,6 +791,28 @@ class RelaxedPlonkWitness:
             rpow = (rpow * r) % p
 
         import jax
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from ..parallel.mesh import AXIS
+
+            ndev = mesh.devices.size
+            sh = NamedSharding(mesh, PartitionSpec(AXIS))
+
+            def put(a):
+                return jax.device_put(a, sh) if a.shape[0] % ndev == 0 else a
+
+            W1s = tuple(put(a) for a in self.W)
+            W2s = tuple(put(a) for a in W2.W)
+            E1 = put(self.E)
+            cts = tuple(put(t) for t in cross_terms)
+            r_m = lf.const(r % p, (1,))
+            rp = lf.encode(rpows) if rpows else lf.zero((0,))
+            W_out, E = _witness_fold_jit(p, len(self.W), len(cross_terms))(
+                W1s, W2s, E1, cts, r_m, rp
+            )
+            return RelaxedPlonkWitness(lf, list(W_out), E)
 
         if jax.default_backend() == "cpu":
             try:

@@ -153,14 +153,17 @@ def run(steps: int = 1, batch_size: int = 1, use_mock_ck: bool = True,
     t0 = time.time()
     ivc = IVC(pp, sc1, z0, sc2, [0], debug_mode=debug_mode)
     print(f"ivc zero step: {time.time() - t0:.1f}s")
+    step_secs = []
     for step in range(steps):
         sc1.pop_front_proof_batch()
         t0 = time.time()
         ivc.fold_step()
-        print(f"fold step {step + 1}: {time.time() - t0:.1f}s")
+        step_secs.append(time.time() - t0)
+        print(f"fold step {step + 1}: {step_secs[-1]:.1f}s", flush=True)
     ivc.verify(strict=True)
     mode = "REAL Groth16 proofs + true Gt cross terms" if real_proofs else "structural"
     print(f"SnarkStar: {steps} steps x batch {batch_size} verified OK ({mode})")
+    return step_secs
 
 
 if __name__ == "__main__":

@@ -55,6 +55,16 @@ except Exception:
     pass
 
 
+# Protocol tests don't care which backend computes commitments/encodes;
+# on the CPU suite the native/host runtime is both the real CPU path and
+# ~free of XLA:CPU compiles (a cold suite run was minutes of compiling lane
+# MSM programs at K=4 sizes the runtime never uses).  Backend-specific
+# tests (test_jax_curve, test_pallas_*, test_ntt, test_parallel,
+# test_nifs[xla/pallas]) call the device kernels directly or override these
+# with monkeypatch.
+os.environ.setdefault("MIRA_MSM", "host")
+os.environ.setdefault("MIRA_NATIVE_ENCODE_MIN", "1")
+
 import pytest  # noqa: E402
 
 

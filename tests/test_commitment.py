@@ -78,3 +78,64 @@ def test_commit_ints_matches_naive():
         term = p.scalar_mul(v)
         want = term if want is None else want.add(term)
     assert got.x.v == want.x.v and got.y.v == want.y.v
+
+
+def test_commit_delta_matches_full_commit():
+    """C(template) + MSM(delta @ positions) == C(scattered witness) — the
+    incremental witness commitment of the device-resident tape-replay path
+    (ops/commitment.py commit_delta; replaces the reference's full
+    best_multiexp per SPS round, /root/reference/src/plonk/mod.rs:653-907)."""
+    import random
+
+    import jax.numpy as jnp
+
+    from mira_tpu.fields.limbs import NUM_LIMBS, ints_to_limbs, limb_field
+    from mira_tpu.table.packed import DeviceWitness
+
+    rng = random.Random(7)
+    curve = BN254_G1
+    num_cols, nrow = 4, 64
+    n = num_cols * nrow
+    ck = CommitmentKey.setup(curve, 8, b"delta-test")
+    lf = limb_field(curve.scalar_modulus)
+
+    template_vals = [rng.randrange(curve.scalar_modulus) for _ in range(n)]
+    template_mont = lf.encode(template_vals)
+    positions_np = np.asarray(
+        sorted(rng.sample(range(n), 40)), dtype=np.int64
+    )
+    positions = jnp.asarray(positions_np, dtype=jnp.int32)
+    new_vals = [rng.randrange(curve.scalar_modulus) for _ in positions_np]
+    vals16 = jnp.asarray(ints_to_limbs(new_vals))
+
+    class _Tok:  # stands in for CapturedSynthesis as the cache key
+        pass
+
+    dw = DeviceWitness(
+        lf, _Tok(), template_mont, template_mont[positions],
+        positions, positions_np, vals16, num_cols, nrow,
+    )
+
+    # scatter correctness: encode_mont == template with updates applied
+    got = lf.decode(dw.encode_mont(lf))
+    want = list(template_vals)
+    for p, v in zip(positions_np, new_vals):
+        want[int(p)] = v
+    assert got == want
+
+    # delta commitment == full commitment of the scattered witness
+    c_delta = ck.commit_delta(dw)
+    c_full = ck.commit_ints(want)
+    assert c_delta == c_full
+
+    # second step over the same tape reuses the cached template commitment
+    new_vals2 = [rng.randrange(curve.scalar_modulus) for _ in positions_np]
+    dw2 = DeviceWitness(
+        lf, dw.cache_token, template_mont, template_mont[positions],
+        positions, positions_np, jnp.asarray(ints_to_limbs(new_vals2)),
+        num_cols, nrow,
+    )
+    want2 = list(template_vals)
+    for p, v in zip(positions_np, new_vals2):
+        want2[int(p)] = v
+    assert ck.commit_delta(dw2) == ck.commit_ints(want2)

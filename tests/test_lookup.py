@@ -173,7 +173,7 @@ def _fold_two(circuit_cls, seeds):
 def test_fold_multi_lookup_circuit():
     """Fold a circuit with TWO lookup arguments (interleaved round-2 layout)."""
     S = _fold_two(MultiLookupCircuit, (6, 7))
-    assert len(S.lookups) == 2
+    assert S.num_lookups() == 2
     assert not S.has_vector_lookup()
 
 

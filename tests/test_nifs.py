@@ -209,7 +209,24 @@ def test_fold_two_steps(circuit_cls):
     assert U_v2 == acc2.U
 
 
-@pytest.mark.parametrize("fold_impl", ["xla", "pallas", "native"])
+@pytest.mark.parametrize(
+    "fold_impl",
+    [
+        "xla",
+        pytest.param(
+            "pallas",
+            marks=[
+                pytest.mark.slow,
+                pytest.mark.skipif(
+                    not __import__("os").environ.get("MIRA_RUN_SLOW"),
+                    reason="~3min XLA:CPU compile of the fused multi-point "
+                    "body; set MIRA_RUN_SLOW=1",
+                ),
+            ],
+        ),
+        "native",
+    ],
+)
 @pytest.mark.parametrize("assume_sat", [True, False])
 def test_cross_terms_numeric_vs_symbolic(assume_sat, fold_impl, monkeypatch):
     """The numeric (evaluate+interpolate) cross terms must equal the

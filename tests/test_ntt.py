@@ -144,8 +144,21 @@ def test_fourstep_matches_host(log_n, inverse):
     assert lf.decode(out) == ntt_host(vals, BN254_FR, inverse)
 
 
-@pytest.mark.parametrize("inverse", [False, True])
-@pytest.mark.parametrize("log_n", [8, 9])
+_slow_variant = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.environ.get("MIRA_RUN_SLOW"),
+        reason="~1min interpret compile per variant; set MIRA_RUN_SLOW=1",
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "inverse", [False, pytest.param(True, marks=_slow_variant)]
+)
+@pytest.mark.parametrize(
+    "log_n", [8, pytest.param(9, marks=_slow_variant)]
+)
 def test_fourstep_paired_chunks_match_host(log_n, inverse):
     """The round-2 chunk-pair mul-sharing kernel paths: chunk=4 with
     n2 = 16/32 rows exercises paired inter-chunk stages (h >= C, incl.

@@ -48,9 +48,14 @@ def _run(t, rate, L, impl, block=None):
         assert got[i] == _host_state1(vals[i], t, rate, 10, 10)
 
 
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MIRA_RUN_SLOW"),
+    reason="~7min cold XLA:CPU compile; set MIRA_RUN_SLOW=1 "
+    "(the same kernel is exercised on real TPU by bench.py poseidon mode)",
+)
 def test_sponge_body_matches_host():
     # merkle-node shape (t=3, rate=2): the bench/Merkle workload kernel.
-    # ~2min XLA:CPU compile on first run, then persistent-cached.
     _run(3, 2, 2, impl="jnp")
 
 

@@ -26,9 +26,25 @@ def _host_state1(vals, t, rate, r_f, r_p):
     return h.state[1].v
 
 
+_slow = pytest.param(
+    marks=[
+        pytest.mark.slow,
+        pytest.mark.skipif(
+            not __import__("os").environ.get("MIRA_RUN_SLOW"),
+            reason="~2-3min XLA:CPU compile per variant; set MIRA_RUN_SLOW=1",
+        ),
+    ]
+)
+
+
 @pytest.mark.parametrize(
     "t,rate,L",
-    [(3, 2, 2), (3, 2, 3), (5, 4, 4), (5, 4, 6)],
+    [
+        (3, 2, 2),
+        pytest.param(3, 2, 3, marks=_slow.marks),
+        pytest.param(5, 4, 4, marks=_slow.marks),
+        pytest.param(5, 4, 6, marks=_slow.marks),
+    ],
     ids=["merkle-node", "odd-len", "ivc-ro", "two-chunks"],
 )
 def test_device_matches_host(t, rate, L):

@@ -139,7 +139,12 @@ def main():
         # reference's batch-1 scale — k=19 tables, REAL ck 2^23/2^24
         # (/root/reference/examples/groth16/main.rs:47-77), real Groth16
         # proofs + true Gt cross terms, strict verify inside run().
-        os.environ.setdefault("MIRA_MSM_FB_WINDOW", "5")  # halve table HBM
+        os.environ.setdefault("MIRA_MSM_FB_WINDOW", "4")  # table HBM x1/4
+        os.environ.setdefault("MIRA_CK_DROP_ENC", "1")  # free key enc
+        # keep tables for the RECURRING widths only (cross terms 2^19,
+        # delta positions); one-shot zero-step commits at 2^22+ must not
+        # spend minutes building multi-GB tables they use once
+        os.environ.setdefault("MIRA_MSM_FB_BUDGET_MB", "2000")
         steps = int(os.environ.get("MIRA_BENCH_IVC_STEPS", "4"))
         from mira_tpu.workloads.snarkstar import run as snarkstar_run
 
@@ -495,7 +500,7 @@ def _scaling_worker():
         from mira_tpu.ops.msm import encode_scalars
         from mira_tpu.parallel.msm import sharded_msm
 
-        n = 1 << int(os.environ.get("MIRA_SCALING_MSM_LOG_N", "10"))
+        n = 1 << int(os.environ.get("MIRA_SCALING_MSM_LOG_N", "13"))
         pts = [AffinePoint.random(BN254_G1, rng) for _ in range(n)]
         ops = jacobian_ops("bn254")
         enc_pts = ops.encode_points(pts)

@@ -293,17 +293,20 @@ class VanillaFS:
                 cross_terms = list(_combine_slices_jit(p, d)(tuple(evals)))
 
         with span("cross_term_commit"):
+            commit_many = getattr(ck, "commit_device_many", None)
+
+            def _commit_all(terms):
+                if commit_many is not None:
+                    return commit_many(terms, mesh=mesh)
+                return [ck.commit_device(t, mesh=mesh) for t in terms]
+
             if assume_sat and d >= 1:
                 # T_d = 0 on satisfied traces (leading-coefficient
                 # invariant) — its commitment is the identity, no MSM
-                g1_commits = [
-                    ck.commit_device(t, mesh=mesh) for t in cross_terms[:-1]
-                ]
+                g1_commits = _commit_all(cross_terms[:-1])
                 g1_commits.append(AffinePoint.identity(S.curve))
             else:
-                g1_commits = [
-                    ck.commit_device(t, mesh=mesh) for t in cross_terms
-                ]
+                g1_commits = _commit_all(cross_terms)
         ctx = getattr(S, "groth16_ctx", None)
         if ctx is not None:
             # real bilinear pairing cross terms (snark/groth16.py) — the

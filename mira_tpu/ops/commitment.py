@@ -232,6 +232,55 @@ class CommitmentKey:
                 return msm_host_pippenger(vals, self.points[:n])
         return self._commit_plain_limbs(lf.to_plain(witness_mont), allow_fb)
 
+    def commit_device_many(self, vectors, mesh=None) -> List[AffinePoint]:
+        """Commit a list of equal-length Montgomery vectors, decoding all
+        results in one host sync instead of blocking per MSM (the per-call
+        decode stall costs ~1/3 of a cross-term commit at 2^17)."""
+        import jax
+
+        if (
+            mesh is not None
+            or jax.default_backend() in ("cpu",)
+            or os.environ.get("MIRA_MSM", "auto") not in ("auto", "pallas")
+        ):
+            return [self.commit_device(v, mesh=mesh) for v in vectors]
+        outs = []
+        ops = jacobian_ops(self.curve.name)
+        lf = limb_field(self.curve.scalar_modulus)
+        for v in vectors:
+            n = v.shape[0]
+            if n > len(self):
+                raise ValueError(f"input too long: {n} > key size {len(self)}")
+            outs.append(self._msm_device(lf.to_plain(v)))
+        # one gather for all results
+        flat = [np.asarray(c) for out in outs for c in out]
+        pts = []
+        for i in range(len(outs)):
+            triple = tuple(flat[3 * i + j][None] for j in range(3))
+            pts.append(ops.decode_points(triple)[0])
+        return pts
+
+    def _msm_device(self, scalars):
+        """Dispatch one device MSM over plain-limb scalars; returns the
+        Jacobian limb triple WITHOUT decoding (async)."""
+        n = scalars.shape[0]
+        n_pad = 1 << max((n - 1).bit_length(), 0)
+        n_pad = min(max(n_pad, 1), len(self))
+        if n_pad < n:
+            n_pad = len(self)
+        if n_pad > n:
+            pad = np.zeros((n_pad - n, scalars.shape[1]), dtype=np.uint32)
+            scalars = jnp.concatenate([scalars, jnp.asarray(pad)], axis=0)
+        tab = self._fixed_table(n_pad)
+        if tab is not None:
+            from .pallas_msm import msm_pallas_fixed
+
+            window, table = tab
+            return msm_pallas_fixed(scalars, table, self.curve, window)
+        from .pallas_msm import msm_pallas
+
+        return msm_pallas(scalars, self._enc_slice(n_pad), self.curve)
+
     def commit_delta(self, dw) -> AffinePoint:
         """Incremental commitment for a tape-replayed DeviceWitness
         (table/packed.py): the witness differs from its captured template
@@ -276,8 +325,11 @@ class CommitmentKey:
                 # these ~250k-point MSMs while halving table HBM, and the
                 # small build chunk caps the build transients (the w=6
                 # 2^18-chunk build transiently held ~4 GB and OOMed the
-                # tunnel-attached v5e)
-                window = 5
+                # tunnel-attached v5e).  MIRA_MSM_FB_WINDOW lowers it
+                # further for HBM-tight workloads (SnarkStar k=19).
+                window = min(
+                    5, int(os.environ.get("MIRA_MSM_FB_WINDOW", "5")) or 5
+                )
                 nbytes = 2 * (1 << (window - 1)) * 64 * len(pos)
                 budget = int(
                     os.environ.get("MIRA_MSM_FB_BUDGET_MB", "6144")
@@ -299,6 +351,11 @@ class CommitmentKey:
                     window = None
             entry = (C_t, table, window, len(pos) - npad, npad)
             self._delta_cache[token] = entry
+            if os.environ.get("MIRA_CK_DROP_ENC") == "1":
+                # HBM-tight mode: the full-key device encoding served the
+                # template commit; steady-state commits only need the
+                # delta/fixed tables.  (Re-encodes lazily if needed again.)
+                self._enc_cache = None
         C_t, table, window, npts, npad = entry
         from ..utils.tracing import span
 
@@ -376,6 +433,16 @@ class CommitmentKey:
         else:
             out = msm(scalars, pts, self.curve)
         return ops.decode_points(tuple(c[None] for c in out))[0]
+
+    def release_device_cache(self):
+        """Free every device-resident derived structure (key encoding,
+        fixed-base multiples tables, delta tables).  Used between the
+        folding phase and the decider on HBM-tight workloads — everything
+        rebuilds lazily."""
+        self._enc_cache = None
+        self._fb_tables = {}
+        self._fb_bytes = 0
+        self._delta_cache = {}
 
     def _fixed_table(self, n: int):
         """Precomputed affine multiples table for MSM width n (device),

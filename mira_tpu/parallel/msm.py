@@ -90,7 +90,9 @@ def _native_shard_callback(curve):
             sc64 = np.where(is_inf[:, None], 0, sc64)
             x_pl = np.where(is_inf[:, None], 0, x_pl)
             y_pl = np.where(is_inf[:, None], 0, y_pl)
-        jac = msm_native_raw(sc64, x_pl, y_pl, p)  # (3, 4) u64 plain
+        # one thread per shard: the mesh devices ARE the parallelism (auto
+        # threading oversubscribes ndev x ncores and poisons scaling numbers)
+        jac = msm_native_raw(sc64, x_pl, y_pl, p, nthreads=1)  # (3,4) u64
         out = limbs64_to_16(to_mont(p, jac.astype(np.uint64)))
         return (
             out[0:1].astype(np.uint32),

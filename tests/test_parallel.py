@@ -65,6 +65,29 @@ def test_sharded_msm_matches_host():
 
 
 @needs_8_devices
+def test_sharded_msm_native_matches_host():
+    """CPU-mesh default: per-shard native C++ Pippenger via pure_callback +
+    the same all-gather/tree-reduction mesh program as the TPU path."""
+    from mira_tpu.ops.native_msm import available
+
+    if not available():
+        pytest.skip("no native toolchain")
+    mesh = make_mesh(8)
+    rng = random.Random(4)
+    n = 64
+    pts = [AffinePoint.random(BN254_G1, rng) for _ in range(n)]
+    pts[5] = AffinePoint.identity(BN254_G1)  # infinity lane
+    scalars = [rng.randrange(BN254_G1.scalar_modulus) for _ in range(n)]
+    scalars[9] = 0  # zero-scalar lane
+    ops = jacobian_ops("bn254")
+    sc = encode_scalars(scalars, BN254_G1.scalar_modulus)
+    enc = ops.encode_points(pts)
+    out = sharded_msm(sc, enc, BN254_G1, mesh, method="native")
+    got = ops.decode_points(tuple(c[None] for c in out))[0]
+    assert got == msm_host(scalars, pts)
+
+
+@needs_8_devices
 @pytest.mark.slow
 @pytest.mark.skipif(
     not os.environ.get("MIRA_RUN_SLOW"),

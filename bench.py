@@ -166,6 +166,36 @@ def main():
         )
         return
 
+    if which == "ivc-tensorstar":
+        # TensorStar (zkml program-counter folding) at the reference's
+        # matrix-dim ladder scale: k=22 tables, REAL ck 2^26/2^25
+        # (/root/reference/examples/zkml/main.rs:41-77), zkml pairing
+        # instance shape (num_g1=23, num_g2=2, gt 3/12), strict verify.
+        # k=22 witness arrays are ~3.2 GB each — skip the multi-GB
+        # fixed tables and free the key encoding after template commits.
+        os.environ.setdefault("MIRA_MSM_FB_BUDGET_MB", "1600")
+        os.environ.setdefault("MIRA_CK_DROP_ENC", "1")
+        steps = int(os.environ.get("MIRA_BENCH_IVC_STEPS", "3"))
+        from mira_tpu.workloads.tensorstar import run as tensorstar_run
+
+        step_secs = tensorstar_run(
+            repeat_count=steps, matrix_dim=128, use_mock_ck=False
+        )
+        tail = sorted(step_secs[1:]) if steps > 2 else sorted(step_secs)
+        value = tail[len(tail) // 2]
+        print(
+            json.dumps(
+                {
+                    "metric": f"tensorstar_fold_step_sec@k22-ck26/{backend}",
+                    "value": round(value, 2),
+                    "unit": "s/step",
+                    "vs_baseline": round(767.0 / value, 4),
+                    "all_steps": [round(s, 1) for s in step_secs],
+                }
+            )
+        )
+        return
+
     if which == "scaling":
         _scaling_driver()
         return

@@ -343,10 +343,15 @@ class CommitmentKey:
                         jnp.asarray(lfq.one_mont_np, dtype=jnp.uint32),
                         (len(pos), NUM_LIMBS),
                     )
-                    table = precompute_fixed_table(
-                        (X, Y, Z), self.curve, window, chunk=1 << 15
-                    )
-                    self._fb_bytes += nbytes
+                    try:
+                        table = precompute_fixed_table(
+                            (X, Y, Z), self.curve, window, chunk=1 << 15
+                        )
+                        self._fb_bytes += nbytes
+                    except Exception:
+                        # degrade to the generic per-point path below when
+                        # the (shared) device is out of HBM right now
+                        table = window = None
                 else:
                     window = None
             entry = (C_t, table, window, len(pos) - npad, npad)
@@ -382,8 +387,30 @@ class CommitmentKey:
                 out = fence(msm_pallas_fixed(delta, table, self.curve, window))
             with span("delta_decode"):
                 d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
+        elif jax.default_backend() not in ("cpu",):
+            # no table (HBM pressure): generic device kernel over the
+            # gathered key points — still only nwrites points
+            from .pallas_msm import msm_pallas
+
+            idx = np.concatenate(
+                [dw.positions_np,
+                 np.zeros((-len(dw.positions_np)) % 256,
+                          dtype=dw.positions_np.dtype)]
+            )
+            sub = self._limbs[idx]
+            lfq = limb_field(self.curve.base_modulus)
+            gpts = (
+                lfq.encode_raw16(sub[:, 0]),
+                lfq.encode_raw16(sub[:, 1]),
+                jnp.broadcast_to(
+                    jnp.asarray(lfq.one_mont_np, dtype=jnp.uint32),
+                    (len(idx), NUM_LIMBS),
+                ),
+            )
+            out = msm_pallas(delta, gpts, self.curve)
+            d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
         else:
-            # host fallback (CPU backends / tables disabled)
+            # host fallback (CPU backends)
             vals = lf.decode(dw.delta_mont())
             idx = dw.positions_np
             from .native_msm import available, msm_native
@@ -459,6 +486,18 @@ class CommitmentKey:
         hit = self._fb_tables.get(n)
         if hit is not None:
             return hit
+        # Build a table only for RECURRING widths: the first request at a
+        # width runs the generic kernel; the second builds.  One-shot
+        # commits (zero-step witness rounds at 2^20+, whose steady-state
+        # successors go through commit_delta) would otherwise spend minutes
+        # and multiple GB of HBM on a table used once.
+        seen = getattr(self, "_fb_seen", None)
+        if seen is None:
+            seen = {}
+            self._fb_seen = seen
+        seen[n] = seen.get(n, 0) + 1
+        if seen[n] < 2:
+            return None
         from .pallas_msm import fixed_base_window, precompute_fixed_table
 
         # MIRA_MSM_FB_WINDOW overrides the size-based window choice — large
@@ -471,8 +510,13 @@ class CommitmentKey:
         if self._fb_bytes + nbytes > budget:
             return None
         pts = self._enc_slice(n)
-        table = precompute_fixed_table(pts, self.curve, window,
-                                       chunk=1 << 15)
+        try:
+            table = precompute_fixed_table(pts, self.curve, window,
+                                           chunk=1 << 15)
+        except Exception:
+            # HBM on the tunnel-attached device fluctuates (shared);
+            # degrade to the generic kernel instead of failing the fold
+            return None
         self._fb_tables[n] = (window, table)
         self._fb_bytes += nbytes
         return self._fb_tables[n]

@@ -248,7 +248,8 @@ class PlonkStructure:
         if not self.is_sat_log_derivative(W):
             raise SatError("log derivative relation not satisfied")
         for i, (ci, wi) in enumerate(zip(U.W_commitments, W.W)):
-            if ck.commit_device(wi) != ci:
+            # one-shot recompute: never build a fixed-base table for it
+            if ck.commit_device(wi, allow_fb=False) != ci:
                 raise SatError(f"W commitment mismatch at round {i}")
 
     def is_sat_relaxed(self, ck, U: "RelaxedPlonkInstance", W: "RelaxedPlonkWitness"):
@@ -266,9 +267,10 @@ class PlonkStructure:
         if not self.is_sat_log_derivative(W):
             raise SatError("log derivative relation not satisfied")
         for i, (ci, wi) in enumerate(zip(U.W_commitments, W.W)):
-            if ck.commit_device(wi) != ci:
+            # one-shot recompute: never build a fixed-base table for it
+            if ck.commit_device(wi, allow_fb=False) != ci:
                 raise SatError(f"W commitment mismatch at round {i}")
-        if ck.commit_device(W.E) != U.E_commitment:
+        if ck.commit_device(W.E, allow_fb=False) != U.E_commitment:
             raise SatError("E commitment mismatch")
         ctx = getattr(self, "groth16_ctx", None)
         if ctx is not None:

@@ -98,15 +98,23 @@ def run(repeat_count: int = 1, matrix_dim: int = 32, baseline: bool = False,
     z0 = [sc1.front_proof_batch()[0].root().old]
     t0 = time.time()
     ivc = IVC(pp, sc1, z0, sc2, [0], debug_mode=debug_mode)
-    print(f"ivc zero step: {time.time() - t0:.1f}s")
+    print(f"ivc zero step: {time.time() - t0:.1f}s", flush=True)
+    step_secs = []
     for step in range(repeat_count):
         sc1.pop_front_proof_batch()
         t0 = time.time()
         ivc.fold_step()
-        print(f"fold step {step + 1}: {time.time() - t0:.1f}s")
+        step_secs.append(time.time() - t0)
+        print(f"fold step {step + 1}: {step_secs[-1]:.1f}s", flush=True)
+    if not use_mock_ck:
+        for ck in (ck1, ck2):
+            release = getattr(ck, "release_device_cache", None)
+            if release:
+                release()
     ivc.verify(strict=True)
     print(f"TensorStar: {repeat_count} steps (matrix_dim {matrix_dim}"
           f"{', baseline' if baseline else ''}) verified OK")
+    return step_secs
 
 
 if __name__ == "__main__":

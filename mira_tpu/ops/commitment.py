@@ -230,7 +230,47 @@ class CommitmentKey:
                 from ..curves.host import msm_host_pippenger
 
                 return msm_host_pippenger(vals, self.points[:n])
+        seg = int(os.environ.get("MIRA_MSM_SEGMENT", str(1 << 22)))
+        if n > seg:
+            return self._commit_segmented(witness_mont, seg)
         return self._commit_plain_limbs(lf.to_plain(witness_mont), allow_fb)
+
+    def _commit_segmented(self, witness_mont, seg: int) -> AffinePoint:
+        """Very wide one-shot commits (TensorStar zero step: 29M+ points at
+        k=22) in bounded HBM: per-segment scalar conversion + key encoding
+        (NOT cached — ~1 GB transient per 2^22 segment instead of 6+ GB
+        resident), generic kernel per segment, partials summed on host."""
+        from ..curves.host import AffinePoint as _AP
+        from .pallas_msm import msm_pallas
+
+        lf = limb_field(self.curve.scalar_modulus)
+        lfq = limb_field(self.curve.base_modulus)
+        ops = jacobian_ops(self.curve.name)
+        n = witness_mont.shape[0]
+        total = _AP.identity(self.curve)
+        for lo in range(0, n, seg):
+            hi = min(lo + seg, n)
+            m = hi - lo
+            sc = lf.to_plain(witness_mont[lo:hi])
+            pad = (-m) % 256
+            if pad:
+                sc = jnp.concatenate(
+                    [sc, jnp.zeros((pad, NUM_LIMBS), jnp.uint32)], axis=0
+                )
+            idx = np.arange(lo, hi)
+            if pad:  # repeat the first base; its extra lanes carry zero
+                idx = np.concatenate([idx, np.full(pad, lo)])
+            X = lfq.encode_raw16(self._limbs[idx, 0])
+            Y = lfq.encode_raw16(self._limbs[idx, 1])
+            Z = jnp.broadcast_to(
+                jnp.asarray(lfq.one_mont_np, dtype=jnp.uint32),
+                (len(idx), NUM_LIMBS),
+            )
+            out = msm_pallas(sc, (X, Y, Z), self.curve)
+            total = total.add(
+                ops.decode_points(tuple(c[None] for c in out))[0]
+            )
+        return total
 
     def commit_device_many(self, vectors, mesh=None) -> List[AffinePoint]:
         """Commit a list of equal-length Montgomery vectors, decoding all

@@ -272,7 +272,8 @@ class VanillaFS:
         else:
             if impl == "pallas" and js:
                 pev = S._pallas_fold_evaluator()
-                outs = pev.fold_eval_multi(W1_W, W2_W, js, ch1, ch2)
+                with span("cross_term_eval"):
+                    outs = pev.fold_eval_multi(W1_W, W2_W, js, ch1, ch2)
                 evals = [outs[i] for i in range(len(js))]
             else:
                 ev = S._evaluator("homogeneous")

@@ -284,20 +284,26 @@ class CommitmentKey:
             or os.environ.get("MIRA_MSM", "auto") not in ("auto", "pallas")
         ):
             return [self.commit_device(v, mesh=mesh) for v in vectors]
+        from ..utils.tracing import span
+
         outs = []
         ops = jacobian_ops(self.curve.name)
         lf = limb_field(self.curve.scalar_modulus)
-        for v in vectors:
-            n = v.shape[0]
-            if n > len(self):
-                raise ValueError(f"input too long: {n} > key size {len(self)}")
-            outs.append(self._msm_device(lf.to_plain(v)))
-        # one gather for all results
-        flat = [np.asarray(c) for out in outs for c in out]
-        pts = []
-        for i in range(len(outs)):
-            triple = tuple(flat[3 * i + j][None] for j in range(3))
-            pts.append(ops.decode_points(triple)[0])
+        with span("ct_msm_dispatch"):
+            for v in vectors:
+                n = v.shape[0]
+                if n > len(self):
+                    raise ValueError(
+                        f"input too long: {n} > key size {len(self)}"
+                    )
+                outs.append(self._msm_device(lf.to_plain(v)))
+        with span("ct_decode"):
+            # one gather for all results
+            flat = [np.asarray(c) for out in outs for c in out]
+            pts = []
+            for i in range(len(outs)):
+                triple = tuple(flat[3 * i + j][None] for j in range(3))
+                pts.append(ops.decode_points(triple)[0])
         return pts
 
     def _msm_device(self, scalars):

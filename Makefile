@@ -3,10 +3,10 @@
 .PHONY: test test-all bench lint snarkstar tensorstar trivial
 
 test:
-	python -m pytest tests/ -q -n 4
+	python -m pytest tests/ -q -n 4 --dist worksteal
 
 test-all:
-	MIRA_RUN_SLOW=1 python -m pytest tests/ -q -n 4
+	MIRA_RUN_SLOW=1 python -m pytest tests/ -q -n 4 --dist worksteal
 
 bench:
 	python bench.py

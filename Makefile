@@ -1,5 +1,6 @@
 # Convenience targets (the reference drives everything through cargo aliases,
 # .cargo/config.toml:1-28)
+# Tooling pins (pytest-xdist >= 3.2 for --dist worksteal): requirements-dev.txt
 .PHONY: test test-all bench lint snarkstar tensorstar trivial
 
 test:

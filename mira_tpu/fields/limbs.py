@@ -68,41 +68,73 @@ def limbs_to_ints(arr) -> list:
     ]
 
 
+def _shift_up(x, d, fill):
+    """Shift d positions toward higher limbs along the last axis."""
+    pad = [(0, 0)] * (x.ndim - 1) + [(d, 0)]
+    return jnp.pad(x, pad, constant_values=fill)[..., : x.shape[-1]]
+
+
+def _prefix_carry(g, p):
+    """Carry INTO each limb from per-limb (generate, propagate) bools:
+    c_0 = 0, c_{i+1} = g_i | (p_i & c_i) — Kogge-Stone parallel prefix,
+    log2(K) whole-array steps instead of a K-deep sliced ripple (the sliced
+    form made XLA:CPU compile time of every field add/sub pathological)."""
+    k = g.shape[-1]
+    G, P = g, p
+    d = 1
+    while d < k:
+        G = G | (P & _shift_up(G, d, False))
+        P = P & _shift_up(P, d, True)
+        d *= 2
+    return _shift_up(G, 1, False)
+
+
 def _normalize(acc):
     """Ripple deferred carries so every limb is < 2^16.
 
     acc: (..., K) uint32 columns with values < 2^31; returns same K columns
     (the caller guarantees the top column absorbs the final carry).
+
+    Vectorized: one peel pass splits each column into lo + carry (< 2^15),
+    after which per-limb carries are 0/1 and one exact parallel-prefix pass
+    finishes the ripple.
     """
-    k = acc.shape[-1]
-    cols = [acc[..., i] for i in range(k)]
-    for i in range(k - 1):
-        carry = cols[i] >> LIMB_BITS
-        cols[i] = cols[i] & MASK
-        cols[i + 1] = cols[i + 1] + carry
-    return jnp.stack(cols, axis=-1)
+    lo = acc & MASK
+    hi = acc >> LIMB_BITS  # < 2^15
+    shifted = _shift_up(hi, 1, 0)
+    # top column stays unmasked — it absorbs the final carry
+    t = jnp.concatenate(
+        [lo[..., :-1] + shifted[..., :-1], acc[..., -1:] + shifted[..., -1:]],
+        axis=-1,
+    )
+    g = (t >> LIMB_BITS) > 0  # 0/1 for non-top columns (t < 2^16 + 2^15)
+    p = (t & MASK) == MASK
+    c = _prefix_carry(g, p).astype(jnp.uint32)
+    out = t + c
+    return jnp.concatenate([out[..., :-1] & MASK, out[..., -1:]], axis=-1)
 
 
 def _geq(a, b):
     """a >= b lexicographically over little-endian limbs; (...,) bool."""
-    # scan from least-significant: result = a_i > b_i ? True : (a_i < b_i ? False : prev)
-    res = jnp.ones(a.shape[:-1], dtype=bool)
-    for i in range(NUM_LIMBS):
-        gt = a[..., i] > b[..., i]
-        lt = a[..., i] < b[..., i]
-        res = jnp.where(gt, True, jnp.where(lt, False, res))
-    return res
+    ne = a != b
+    gt = a > b
+    # number of differing limbs at index >= i; the most significant
+    # differing limb (no differing limbs above it) decides
+    s = jnp.cumsum(ne[..., ::-1], axis=-1)[..., ::-1]
+    above = s - ne  # differing limbs strictly above i
+    decided = (gt & (above == 0)).any(axis=-1)
+    return decided | (s[..., 0] == 0)  # all-equal -> True
 
 
 def _sub_limbs(a, b):
-    """(a - b) over limbs, assuming a >= b. uint32 in, uint32 out."""
-    out = []
-    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
-    for i in range(a.shape[-1]):
-        d = a[..., i] + (MASK + 1) - b[..., i] - borrow
-        out.append(d & MASK)
-        borrow = 1 - (d >> LIMB_BITS)  # 1 if we actually borrowed
-    return jnp.stack(out, axis=-1)
+    """(a - b) over limbs, assuming a >= b. uint32 in, uint32 out.
+    b limbs must be < 2^16; a's top column may exceed 2^16 (it has no
+    higher limb to borrow from, and the result is masked anyway)."""
+    t = a + jnp.uint32(MASK + 1) - b  # >= 1
+    g = (t >> LIMB_BITS) == 0  # borrows regardless of incoming borrow
+    p = t == (MASK + 1)  # borrows iff incoming borrow
+    c = _prefix_carry(g, p).astype(jnp.uint32)
+    return (t - c) & MASK
 
 
 class LimbField:

@@ -152,6 +152,47 @@ def _combine_slices_jit(p: int, d: int):
     return jax.jit(run)
 
 
+def _debug_check_assume_sat(S: PlonkStructure, W1, W2, ch1, ch2):
+    """MIRA_DEBUG_SAT guard for the `assume_sat` cross-term shortcut.
+
+    The shortcut trusts two invariants without checking them: Q(0) equals
+    the accumulator's stored error vector E (is_sat_relaxed invariant) and
+    the leading coefficient of Q — the homogeneous polynomial evaluated on
+    the fresh trace alone — vanishes (is_sat invariant).  Folding a trace
+    that violates either silently produces wrong cross terms, detectable
+    only by a later strict verify; with MIRA_DEBUG_SAT=1 this re-evaluates
+    both rows (2 extra evaluator passes) and fails loudly at prove time.
+    """
+    import jax.numpy as jnp
+
+    p = S.modulus
+    lf = S.lf
+    ev = S._evaluator("homogeneous")
+    j0 = lf.const(0, (1,))
+
+    def _eval_on(Wc, ch):
+        enc = lf.encode([c % p for c in ch]) if ch else lf.zero((0,))
+        return ev.fold_eval(Wc, Wc, j0, enc)
+
+    q0 = _eval_on(W1.W, ch1)
+    bad = int(jnp.count_nonzero(~lf.is_zero(lf.sub(q0, W1.E))))
+    if bad:
+        raise ValueError(
+            "MIRA_DEBUG_SAT: assume_sat contract violated — the accumulator "
+            f"does not satisfy its relaxed relation (Q(0) != E on {bad} rows). "
+            "Pass assume_sat=False to commit_cross_terms, or fix the trace."
+        )
+    lead = _eval_on(W2.W, ch2)
+    bad = int(jnp.count_nonzero(~lf.is_zero(lead)))
+    if bad:
+        raise ValueError(
+            "MIRA_DEBUG_SAT: assume_sat contract violated — the incoming "
+            f"trace does not satisfy its relation (leading coefficient "
+            f"nonzero on {bad} rows). Pass assume_sat=False to "
+            "commit_cross_terms, or fix the trace."
+        )
+
+
 @dataclasses.dataclass
 class VanillaFSProverParam:
     S: PlonkStructure
@@ -182,6 +223,9 @@ class VanillaFS:
 
         ch1 = list(U1.challenges) + [U1.u]
         ch2 = list(U2.challenges) + [1]  # fresh instance folds with u = 1
+
+        if assume_sat and d >= 1 and os.environ.get("MIRA_DEBUG_SAT"):
+            _debug_check_assume_sat(S, W1, W2, ch1, ch2)
 
         if assume_sat and d >= 1:
             # Q(0) = E and leading coeff = 0 by the two satisfaction
@@ -368,6 +412,15 @@ class VanillaFS:
         rng=None,
         mesh=None,
     ):
+        """Fold `incoming` into `accumulator` (reference vanilla/mod.rs:220-251).
+
+        Contract: `accumulator` must satisfy its relaxed relation and
+        `incoming` its plain relation — cross terms are computed with the
+        `assume_sat=True` shortcut (Q(0)=E and a vanishing leading
+        coefficient are trusted, not checked).  Violations yield wrong cross
+        terms that only a later strict verify catches; set MIRA_DEBUG_SAT=1
+        to check the invariants loudly at prove time.
+        """
         U1, W1 = accumulator.U, accumulator.W
         U2, W2 = incoming.u, incoming.w
 

@@ -359,6 +359,10 @@ class GroupedPoly:
                 out.append(None)
         return GroupedPoly(out)
 
+    def sub(self, other: "GroupedPoly") -> "GroupedPoly":
+        """Term-wise difference (grouped_poly.rs `sub`)."""
+        return self.add(other.neg())
+
     def neg(self) -> "GroupedPoly":
         return GroupedPoly([Neg(t) if t is not None else None for t in self.terms])
 

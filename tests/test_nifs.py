@@ -330,3 +330,46 @@ def test_is_sat_perm_detects_broken_copy():
     rel.W.W[0] = jnp.asarray(W0)
     with pytest.raises(SatError):
         S.is_sat_perm(rel.U, rel.W)
+
+
+def test_debug_sat_guard(monkeypatch):
+    """MIRA_DEBUG_SAT=1 makes VanillaFS.prove fail loudly when the incoming
+    trace violates the assume_sat contract (Q(0)=E / vanishing leading
+    coefficient, nifs/vanilla.py `_debug_check_assume_sat`)."""
+    S, advice, ck = setup(MulCircuit, seed=3)
+    pp, _vp = VanillaFS.setup_params(AffinePoint.generator(BN254_G1), S)
+
+    from mira_tpu.plonk.structure import (
+        RelaxedPlonkInstance,
+        RelaxedPlonkTrace,
+        RelaxedPlonkWitness,
+    )
+
+    acc = RelaxedPlonkTrace(
+        RelaxedPlonkInstance.new(
+            S.curve, S.num_io, S.num_challenges, len(S.round_sizes),
+            S.num_g1_elems, S.num_g2_elems,
+        ),
+        RelaxedPlonkWitness.zeros(S.lf, S.k, S.round_sizes),
+    )
+
+    # tamper the witness BEFORE trace generation: SPS commits happily but the
+    # trace no longer satisfies its gate relation
+    bad = [list(col) for col in advice]
+    bad[-1][0] = (bad[-1][0] + 1) % S.modulus
+    bad_trace = VanillaFS.generate_plonk_trace(ck, [], bad, pp, ro())
+
+    monkeypatch.setenv("MIRA_DEBUG_SAT", "1")
+    with pytest.raises(ValueError, match="assume_sat contract"):
+        VanillaFS.prove(ck, pp, ro(), acc, bad_trace, rng=random.Random(7))
+
+    # without the guard the same fold silently goes through (the documented
+    # hazard) ...
+    monkeypatch.delenv("MIRA_DEBUG_SAT")
+    VanillaFS.prove(ck, pp, ro(), acc, bad_trace, rng=random.Random(7))
+
+    # ... and a satisfying trace passes under the guard
+    monkeypatch.setenv("MIRA_DEBUG_SAT", "1")
+    good_trace = VanillaFS.generate_plonk_trace(ck, [], advice, pp, ro())
+    acc1, _ = VanillaFS.prove(ck, pp, ro(), acc, good_trace, rng=random.Random(7))
+    S.is_sat_relaxed(ck, acc1.U, acc1.W)

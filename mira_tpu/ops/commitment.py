@@ -160,12 +160,27 @@ class CommitmentKey:
         cls, curve: CurveParams, k: int, label: str, cache_dir: str = ".cache/ck"
     ) -> "CommitmentKey":
         htc = os.environ.get("MIRA_HTC", "svdw")
-        path = os.path.join(cache_dir, curve.name, label, f"{k}-{htc}.npy"
-                            if htc != "xof" else f"{k}.npy")
+
+        def _path(kk):
+            return os.path.join(
+                cache_dir, curve.name, label,
+                f"{kk}-{htc}.npy" if htc != "xof" else f"{kk}.npy")
+
+        path = _path(k)
         if os.path.exists(path):
             arr = np.load(path)  # (n, 2, 16) uint32 raw limbs
             _validate_limbs_on_curve(curve, arr)
             return cls(curve, arr)
+        # The generator stream is prefix-stable (one XOF point per 32-byte
+        # block, commitment.rs:52-76 semantics): a cached key of any k' > k
+        # with the same label contains this key as its first 2^k rows —
+        # memory-map the big file and copy only the slice.
+        for k2 in range(k + 1, 33):
+            big = _path(k2)
+            if os.path.exists(big):
+                arr = np.array(np.load(big, mmap_mode="r")[: 1 << k])
+                _validate_limbs_on_curve(curve, arr)
+                return cls(curve, arr)
         key = cls.setup(curve, k, label.encode())
         os.makedirs(os.path.dirname(path), exist_ok=True)
         np.save(path, key._limbs)

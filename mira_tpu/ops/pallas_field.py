@@ -385,6 +385,115 @@ class TField:
             self.select(take, ZZZ3, ZZZ1),
         )
 
+    def xyzz_madd_complete(self, acc, xy, take):
+        """xyzz_madd plus the doubling case: acc == (x2, y2) yields 2*acc
+        instead of identity.  The fix-up (one xyzz_double + selects) runs
+        under a lax.cond predicated on ANY lane colliding, so honest
+        distinct-base inputs pay only the detection compares — this is what
+        lets the bucket-accumulation MSM kernel stay exact on adversarial
+        duplicate-base inputs without paying a complete add per point."""
+        X1, Y1, ZZ1, ZZZ1 = acc
+        x2, y2 = xy
+        U2 = self.mul(x2, ZZ1)
+        S2 = self.mul(y2, ZZZ1)
+        P = self.sub(U2, X1)
+        R = self.sub(S2, Y1)
+        PP = self.square(P)
+        PPP = self.mul(P, PP)
+        Q = self.mul(X1, PP)
+        X3 = self.sub(self.sub(self.square(R), PPP), self.double(Q))
+        Y3 = self.sub(self.mul(R, self.sub(Q, X3)), self.mul(Y1, PPP))
+        ZZ3 = self.mul(ZZ1, PP)
+        ZZZ3 = self.mul(ZZZ1, PPP)
+
+        acc_id = self.is_zero(ZZ1)
+        p_zero = self.is_zero(P)
+        r_zero = self.is_zero(R)
+        to_inf = p_zero * (1 - r_zero) * (1 - acc_id)  # exact opposite
+        B = X1.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = self.one_tile(B)
+        ZZ3 = self.select(to_inf, zero, ZZ3)
+        X3 = self.select(acc_id, x2, X3)
+        Y3 = self.select(acc_id, y2, Y3)
+        ZZ3 = self.select(acc_id, one, ZZ3)
+        ZZZ3 = self.select(acc_id, one, ZZZ3)
+        res = (X3, Y3, ZZ3, ZZZ3)
+
+        collide = p_zero * r_zero * (1 - acc_id) * take
+
+        def fix(r):
+            d = self.xyzz_double(acc)
+            return tuple(
+                self.select(collide, dc, rc) for dc, rc in zip(d, r)
+            )
+
+        import os
+
+        mode = os.environ.get("MIRA_MSM_BUCKET_COMPLETE", "always")
+        if mode == "cond":
+            res = jax.lax.cond(jnp.any(collide > 0), fix, lambda r: r, res)
+        elif mode == "always":
+            # unconditional double+select: +6M+3S per madd but no control
+            # flow — Mosaic pipelines it, where lax.cond stalls the vector
+            # pipeline (measured 50x slower per grid cell)
+            res = fix(res)
+        # mode == "off": incomplete (distinct-bases precondition)
+        return tuple(
+            self.select(take, rc, ac) for rc, ac in zip(res, acc)
+        )
+
+    def xyzz_add_complete(self, p, q):
+        """General XYZZ add with the equal-points case fixed up to 2*p via
+        a rarely-taken lax.cond (cf. xyzz_madd_complete)."""
+        X1, Y1, ZZ1, ZZZ1 = p
+        X2, Y2, ZZ2, ZZZ2 = q
+        U1 = self.mul(X1, ZZ2)
+        U2 = self.mul(X2, ZZ1)
+        S1 = self.mul(Y1, ZZZ2)
+        S2 = self.mul(Y2, ZZZ1)
+        P = self.sub(U2, U1)
+        R = self.sub(S2, S1)
+        PP = self.square(P)
+        PPP = self.mul(P, PP)
+        Q = self.mul(U1, PP)
+        X3 = self.sub(self.sub(self.square(R), PPP), self.double(Q))
+        Y3 = self.sub(self.mul(R, self.sub(Q, X3)), self.mul(S1, PPP))
+        ZZ3 = self.mul(self.mul(ZZ1, ZZ2), PP)
+        ZZZ3 = self.mul(self.mul(ZZZ1, ZZZ2), PPP)
+
+        p_id = self.is_zero(ZZ1)
+        q_id = self.is_zero(ZZ2)
+        p_zero = self.is_zero(P)
+        r_zero = self.is_zero(R)
+        not_id = (1 - p_id) * (1 - q_id)
+        to_inf = p_zero * (1 - r_zero) * not_id
+        B = X1.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        ZZ3 = self.select(to_inf, zero, ZZ3)
+        X3 = self.select(p_id, X2, self.select(q_id, X1, X3))
+        Y3 = self.select(p_id, Y2, self.select(q_id, Y1, Y3))
+        ZZ3 = self.select(p_id, ZZ2, self.select(q_id, ZZ1, ZZ3))
+        ZZZ3 = self.select(p_id, ZZZ2, self.select(q_id, ZZZ1, ZZZ3))
+        res = (X3, Y3, ZZ3, ZZZ3)
+
+        collide = p_zero * r_zero * not_id
+
+        def fix(r):
+            d = self.xyzz_double(p)
+            return tuple(
+                self.select(collide, dc, rc) for dc, rc in zip(d, r)
+            )
+
+        import os
+
+        mode = os.environ.get("MIRA_MSM_BUCKET_COMPLETE", "always")
+        if mode == "cond":
+            return jax.lax.cond(jnp.any(collide > 0), fix, lambda r: r, res)
+        if mode == "always":
+            return fix(res)
+        return res
+
     def xyzz_add(self, p, q):
         """General XYZZ + XYZZ (add-2008-s, 12M+2S), incomplete: the equal-
         points case yields identity; identity operands and opposites exact."""

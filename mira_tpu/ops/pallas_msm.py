@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from functools import lru_cache, partial
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -495,6 +497,235 @@ def _msm_pallas_pippenger_signed_jit(modulus: int, num_bits: int, block: int,
 
 
 @lru_cache(maxsize=None)
+def _bucket_carry_tables(num_bits: int, window: int):
+    """Closed-form signed-digit recoding carries for window-major iteration.
+
+    The usual recoding threads a carry through ASCENDING windows
+    (c_{w+1} = [raw_w + c_w >= 2^(window-1)]); the bucket kernel iterates
+    windows as the OUTER grid axis (descending, Horner-style), so each
+    window recomputes its incoming carry directly:
+        c_w = [ (s mod 2^(window*w))  >  (2^(window-1)-1) * (2^(window*w)-1)
+                                                          / (2^window - 1) ]
+    i.e. the low bits exceed the largest value representable by digits
+    d_0..d_{w-1} in [-2^(window-1), 2^(window-1)-1].  Returns per-window
+    threshold and low-bits-mask limb arrays, shaped (nwin, NUM_LIMBS); the
+    kernel receives row w via its SMEM BlockSpec index_map."""
+    nwin = (num_bits + window - 1) // window + 1
+    thr = np.zeros((nwin, NUM_LIMBS), np.uint32)
+    msk = np.zeros((nwin, NUM_LIMBS), np.uint32)
+    for w in range(nwin):
+        bits = window * w
+        T = ((1 << (window - 1)) - 1) * ((1 << bits) - 1) // ((1 << window) - 1)
+        for i in range(NUM_LIMBS):
+            thr[w, i] = (T >> (LIMB_BITS * i)) & 0xFFFF
+            nb = min(max(bits - LIMB_BITS * i, 0), LIMB_BITS)
+            msk[w, i] = (1 << nb) - 1
+    return thr, msk
+
+
+def _msm_pallas_bucket_jit(modulus: int, num_bits: int, block: int,
+                           interpret: bool):
+    """True-bucket Pippenger: points accumulate RAW into per-magnitude XYZZ
+    buckets (one 8M+2S mixed add per point per window — no per-point
+    multiples table), windows are the outer grid axis combined Horner-style
+    into a running accumulator, and each window finalizes with a
+    suffix-summed bucket reduction.
+
+    vs the table kernel (_msm_pallas_pippenger_signed_jit): drops the 16
+    point-ops/pt table build and replaces the 12M+4S Jacobian window adds
+    with 8M+2S affine-operand XYZZ madds; the new costs are a 2x16-select
+    bucket gather/scatter per point (cheap logicals) and an amortized
+    ~2*ntab adds per window of suffix summing.  ~600 muls/pt vs ~1100.
+
+    Exact on adversarial inputs: identity/opposite cases are handled by the
+    madd's selects, and the P == Q doubling case (possible when the caller
+    passes duplicate bases) is fixed up by a rarely-taken lax.cond
+    (TField.xyzz_madd_complete) — unlike the table kernels this kernel has
+    no distinct-bases precondition.  Points must be affine-or-infinity
+    (Z in {0,1}), which every commitment-key caller satisfies.
+
+    Reference counterpart: halo2's best_multiexp bucket loop
+    (/root/reference/src/commitment.rs:78-87)."""
+    from jax.experimental import pallas as pl
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        memory_space = pltpu.VMEM
+    except Exception:  # pragma: no cover
+        pltpu = None
+        memory_space = None
+
+    assert num_bits <= 255, "signed-digit kernel assumes scalars < 2^255"
+    tf = tfield(modulus, interpret, lazy=True)
+    W = SWINDOW
+    nwin = (num_bits + W - 1) // W + 1
+    ntab = 1 << (W - 1)  # bucket magnitudes 1..16
+    thr_np, msk_np = _bucket_carry_tables(num_bits, W)
+
+    def _lane_roll(x, s):
+        if interpret:
+            return jnp.roll(x, -s, axis=1)
+        return pltpu.roll(x, shift=(-s) % x.shape[1], axis=1)
+
+    def kernel(thr_ref, msk_ref, sc_ref, x_ref, y_ref, z_ref,
+               ox_ref, oy_ref, oz_ref,
+               bX, bY, bZZ, bZZZ, sX, sY, sZZ, sZZZ):
+        w_idx = pl.program_id(0)
+        step = pl.program_id(1)
+        nsteps = pl.num_programs(1)
+        w = nwin - 1 - w_idx  # descending windows for the Horner combine
+        B = x_ref.shape[1]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = tf.one_tile(B)
+        half = jnp.uint32(ntab)
+        base = jnp.uint32(2 * ntab)
+        dmask = jnp.uint32(2 * ntab - 1)
+
+        @pl.when(step == 0)
+        def _init_buckets():
+            bX[...] = jnp.zeros((ntab, NUM_LIMBS, B), jnp.uint32)
+            bY[...] = jnp.broadcast_to(one[None], (ntab, NUM_LIMBS, B))
+            bZZ[...] = jnp.zeros((ntab, NUM_LIMBS, B), jnp.uint32)
+            bZZZ[...] = jnp.broadcast_to(one[None], (ntab, NUM_LIMBS, B))
+
+        # -- signed digit for window w: raw 5 bits + closed-form carry ------
+        sc = sc_ref[...]
+        bit = w * W
+        l0 = bit // LIMB_BITS
+        r = (bit % LIMB_BITS).astype(jnp.uint32)
+        low = sc_ref[pl.ds(l0, 1), :][0] >> r
+        l1 = jnp.minimum(l0 + 1, NUM_LIMBS - 1)
+        hi = sc_ref[pl.ds(l1, 1), :][0] << (jnp.uint32(LIMB_BITS) - r)
+        valid = jnp.where(l0 + 1 <= NUM_LIMBS - 1,
+                          jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        raw = (low | (hi & valid)) & dmask
+
+        # thr_ref/msk_ref hold window w's row (SMEM, sliced by index_map)
+        c = jnp.zeros((B,), jnp.uint32)
+        for i in range(NUM_LIMBS):  # ascending: most significant limb wins
+            s_low_i = sc[i] & msk_ref[0, 0, i]
+            gt = s_low_i > thr_ref[0, 0, i]
+            lt = s_low_i < thr_ref[0, 0, i]
+            c = jnp.where(gt, jnp.uint32(1), jnp.where(lt, jnp.uint32(0), c))
+
+        t = raw + c
+        c_out = jnp.where(t >= half, jnp.uint32(1), jnp.uint32(0))
+        mag = jnp.where(c_out == 1, base - t, t)  # |digit| in [0, 16]
+        negf = jnp.where((c_out == 1) & (mag > 0),
+                         jnp.uint32(1), jnp.uint32(0))
+
+        xq = x_ref[...]
+        yq = y_ref[...]
+        y2 = tf.select(negf, tf.neg(yq), yq)
+        q_inf = tf.is_zero(z_ref[...])
+        take = jnp.where((mag > 0) & (q_inf == 0),
+                         jnp.uint32(1), jnp.uint32(0))
+
+        debug_stage = os.environ.get("MIRA_BUCKET_DEBUG", "full")
+
+        # -- gather each lane's bucket, one complete madd, scatter back -----
+        aX, aY, aZZ, aZZZ = zero, one, zero, one
+        if debug_stage in ("gather", "madd", "full"):
+            for v in range(1, ntab + 1):
+                m = jnp.where(mag == v, jnp.uint32(1), jnp.uint32(0))
+                aX = tf.select(m, bX[v - 1], aX)
+                aY = tf.select(m, bY[v - 1], aY)
+                aZZ = tf.select(m, bZZ[v - 1], aZZ)
+                aZZZ = tf.select(m, bZZZ[v - 1], aZZZ)
+
+        nX, nY, nZZ, nZZZ = aX, aY, aZZ, aZZZ
+        if debug_stage in ("madd", "full"):
+            nX, nY, nZZ, nZZZ = tf.xyzz_madd_complete(
+                (aX, aY, aZZ, aZZZ), (xq, y2), take
+            )
+
+        if debug_stage in ("gather", "madd", "full"):
+            for v in range(1, ntab + 1):
+                m2 = jnp.where((mag == v) & (take == 1),
+                               jnp.uint32(1), jnp.uint32(0))
+                bX[pl.ds(v - 1, 1)] = tf.select(m2, nX, bX[v - 1])[None]
+                bY[pl.ds(v - 1, 1)] = tf.select(m2, nY, bY[v - 1])[None]
+                bZZ[pl.ds(v - 1, 1)] = tf.select(m2, nZZ, bZZ[v - 1])[None]
+                bZZZ[pl.ds(v - 1, 1)] = tf.select(m2, nZZZ, bZZZ[v - 1])[None]
+
+        # -- window finalize: suffix-sum buckets, Horner into S -------------
+        @pl.when(step == nsteps - 1)
+        def _finalize():
+            def vbody(i, carry):
+                v = ntab - 1 - i  # descending magnitudes
+                rX, rY, rZZ, rZZZ, tX, tY, tZZ, tZZZ = carry
+                bkt = (bX[pl.ds(v, 1)][0], bY[pl.ds(v, 1)][0],
+                       bZZ[pl.ds(v, 1)][0], bZZZ[pl.ds(v, 1)][0])
+                run = tf.xyzz_add_complete((rX, rY, rZZ, rZZZ), bkt)
+                tot = tf.xyzz_add_complete((tX, tY, tZZ, tZZZ), run)
+                return (*run, *tot)
+
+            init = (zero, one, zero, one, zero, one, zero, one)
+            out = jax.lax.fori_loop(0, ntab, vbody, init)
+            tot = out[4:]
+
+            @pl.when(w_idx == 0)
+            def _first():
+                sX[...], sY[...], sZZ[...], sZZZ[...] = tot
+
+            @pl.when(w_idx > 0)
+            def _horner():
+                S = (sX[...], sY[...], sZZ[...], sZZZ[...])
+                for _ in range(W):
+                    S = tf.xyzz_double(S)
+                S = tf.xyzz_add_complete(S, tot)
+                sX[...], sY[...], sZZ[...], sZZZ[...] = S
+
+            # -- last cell: cross-lane reduce + convert to Jacobian ---------
+            @pl.when(w_idx == nwin - 1)
+            def _emit():
+                acc = (sX[...], sY[...], sZZ[...], sZZZ[...])
+                s = B // 2
+                while s >= 1:
+                    rolled = tuple(_lane_roll(cc, s) for cc in acc)
+                    acc = tf.xyzz_add_complete(acc, rolled)
+                    s //= 2
+                jac = tf.xyzz_to_jac(acc)
+                ox_ref[...] = tf.canon(jac[0])
+                oy_ref[...] = tf.canon(jac[1])
+                oz_ref[...] = tf.canon(jac[2])
+
+    def run(sc, X, Y, Z):
+        n = sc.shape[1]
+        grid = (nwin, n // block)
+        kw = {} if memory_space is None else {"memory_space": memory_space}
+        skw = {} if memory_space is None else {"memory_space": pltpu.SMEM}
+        blk_spec = pl.BlockSpec((NUM_LIMBS, block), lambda w, i: (0, i), **kw)
+        tab_spec = pl.BlockSpec(
+            (1, 1, NUM_LIMBS), lambda w, i: (nwin - 1 - w, 0, 0), **skw
+        )
+        out_spec = pl.BlockSpec((NUM_LIMBS, block), lambda w, i: (0, 0), **kw)
+        out_shape = [
+            jax.ShapeDtypeStruct((NUM_LIMBS, block), jnp.uint32)
+            for _ in range(3)
+        ]
+        scratch = [
+            pltpu.VMEM((ntab, NUM_LIMBS, block), jnp.uint32)
+            for _ in range(4)
+        ] + [
+            pltpu.VMEM((NUM_LIMBS, block), jnp.uint32) for _ in range(4)
+        ]
+        thr = jnp.asarray(thr_np)[:, None, :]
+        msk = jnp.asarray(msk_np)[:, None, :]
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[tab_spec, tab_spec] + [blk_spec] * 4,
+            out_specs=[out_spec] * 3,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(thr, msk, sc, X, Y, Z)
+
+    return jax.jit(run)
+
+
 def _msm_pallas_jit(modulus: int, num_bits: int, block: int, interpret: bool):
     from jax.experimental import pallas as pl
 
@@ -848,6 +1079,13 @@ def msm_pallas(scalars, points, curve: CurveParams, block: int | None = None,
 
     sc_t = scalars.T.copy()
     Xt, Yt, Zt = X.T.copy(), Y.T.copy(), Z.T.copy()
+    if method == "bucket":
+        # true-bucket kernel: no distinct-bases precondition (complete on
+        # duplicates), but requires affine-or-infinity inputs (Z in {0,1})
+        ox, oy, oz = _msm_pallas_bucket_jit(
+            curve.base_modulus, num_bits, block, interpret
+        )(sc_t, Xt, Yt, Zt)
+        return (ox[:, 0], oy[:, 0], oz[:, 0])
     if method.startswith("pippenger"):
         # default = signed 5-bit digits; "pippenger-u4" keeps the unsigned
         # 4-bit kernel available for comparison

@@ -39,6 +39,25 @@ def _probe_accelerator(timeout_s: int = 150) -> bool:
         return False
 
 
+def _dump_profile():
+    """MIRA_BENCH_PROFILE=<path>: write the collected span tree + per-span
+    aggregate after an IVC bench — the analog of the reference's
+    build_profiling.py/analyze_profiling.py over its JSON span logs
+    (/root/reference/.scripts/build_profiling.py:17-85)."""
+    path = os.environ.get("MIRA_BENCH_PROFILE")
+    if not path:
+        return
+    from mira_tpu.utils.tracing import aggregate, report
+
+    txt = ("== span tree (>=0.05s) ==\n" + report(0.05)
+           + "\n\n== per-span aggregate (>=0.01s) ==\n" + aggregate(0.01)
+           + "\n")
+    with open(path, "w") as f:
+        f.write(txt)
+    print(f"profile written to {path}", file=sys.stderr)
+
+
+
 def main():
     if not _probe_accelerator():
         # deregister the axon PJRT plugin before any backend initializes
@@ -128,6 +147,7 @@ def main():
                     }
                 )
             )
+            _dump_profile()
             return
         except Exception as e:  # fall back to the kernel metric
             print(f"ivc bench failed ({type(e).__name__}: {e}); "
@@ -173,6 +193,7 @@ def main():
                 }
             )
         )
+        _dump_profile()
         return
 
     if which == "ivc-tensorstar":
@@ -211,6 +232,7 @@ def main():
                 }
             )
         )
+        _dump_profile()
         return
 
     if which == "scaling":
@@ -402,8 +424,12 @@ def main():
             return
 
     if backend == "tpu":
-        # fused Pallas kernel: accumulators stay in VMEM across all 254 bits
-        from mira_tpu.ops.pallas_msm import msm_pallas as msm_fn
+        # bucket-accumulation Pallas kernel (round 4): complete on the
+        # duplicate-heavy tiled bases via offset buckets
+        from mira_tpu.ops.pallas_msm import msm_pallas
+
+        def msm_fn(s, p, c):
+            return msm_pallas(s, p, c, method="bucket")
     else:
         msm_fn = msm
 

@@ -77,6 +77,21 @@ def _validate_limbs_on_curve(curve: CurveParams, limbs: np.ndarray):
             raise ValueError("corrupted commitment key cache")
 
 
+def _generic_msm_method() -> str:
+    """Device method for generic-base MSMs (MIRA_MSM_GENERIC overrides).
+
+    The bucket kernel (round 4) is ~1.6x the table kernel on compiled
+    backends and, via offset buckets, has no distinct-bases precondition;
+    interpret mode keeps the table kernel (the bucket pair compiles
+    minutes-slow under the Pallas interpreter)."""
+    import jax
+
+    env = os.environ.get("MIRA_MSM_GENERIC")
+    if env:
+        return env
+    return "bucket" if jax.default_backend() != "cpu" else "pippenger"
+
+
 class CommitmentKey:
     def __init__(self, curve: CurveParams, limbs: np.ndarray):
         """limbs: (n, 2, 16) uint32 raw (non-Montgomery) affine coordinates."""
@@ -281,7 +296,8 @@ class CommitmentKey:
                 jnp.asarray(lfq.one_mont_np, dtype=jnp.uint32),
                 (len(idx), NUM_LIMBS),
             )
-            out = msm_pallas(sc, (X, Y, Z), self.curve)
+            out = msm_pallas(sc, (X, Y, Z), self.curve,
+                             method=_generic_msm_method())
             total = total.add(
                 ops.decode_points(tuple(c[None] for c in out))[0]
             )
@@ -340,7 +356,8 @@ class CommitmentKey:
             return msm_pallas_fixed(scalars, table, self.curve, window)
         from .pallas_msm import msm_pallas
 
-        return msm_pallas(scalars, self._enc_slice(n_pad), self.curve)
+        return msm_pallas(scalars, self._enc_slice(n_pad), self.curve,
+                          method=_generic_msm_method())
 
     def commit_delta(self, dw) -> AffinePoint:
         """Incremental commitment for a tape-replayed DeviceWitness
@@ -468,7 +485,8 @@ class CommitmentKey:
                     (len(idx), NUM_LIMBS),
                 ),
             )
-            out = msm_pallas(delta, gpts, self.curve)
+            out = msm_pallas(delta, gpts, self.curve,
+                             method=_generic_msm_method())
             d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
         else:
             # host fallback (CPU backends)
@@ -517,7 +535,8 @@ class CommitmentKey:
             else:
                 from .pallas_msm import msm_pallas
 
-                out = msm_pallas(scalars, pts, self.curve)
+                out = msm_pallas(scalars, pts, self.curve,
+                                 method=_generic_msm_method())
         else:
             out = msm(scalars, pts, self.curve)
         return ops.decode_points(tuple(c[None] for c in out))[0]

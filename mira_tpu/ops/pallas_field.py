@@ -385,7 +385,7 @@ class TField:
             self.select(take, ZZZ3, ZZZ1),
         )
 
-    def xyzz_madd_complete(self, acc, xy, take):
+    def xyzz_madd_complete(self, acc, xy, take, mode=None):
         """xyzz_madd plus the doubling case: acc == (x2, y2) yields 2*acc
         instead of identity.  The fix-up (one xyzz_double + selects) runs
         under a lax.cond predicated on ANY lane colliding, so honest
@@ -430,7 +430,8 @@ class TField:
 
         import os
 
-        mode = os.environ.get("MIRA_MSM_BUCKET_COMPLETE", "always")
+        if mode is None:
+            mode = os.environ.get("MIRA_MSM_BUCKET_COMPLETE", "always")
         if mode == "cond":
             res = jax.lax.cond(jnp.any(collide > 0), fix, lambda r: r, res)
         elif mode == "always":
@@ -443,7 +444,7 @@ class TField:
             self.select(take, rc, ac) for rc, ac in zip(res, acc)
         )
 
-    def xyzz_add_complete(self, p, q):
+    def xyzz_add_complete(self, p, q, mode=None):
         """General XYZZ add with the equal-points case fixed up to 2*p via
         a rarely-taken lax.cond (cf. xyzz_madd_complete)."""
         X1, Y1, ZZ1, ZZZ1 = p
@@ -487,7 +488,8 @@ class TField:
 
         import os
 
-        mode = os.environ.get("MIRA_MSM_BUCKET_COMPLETE", "always")
+        if mode is None:
+            mode = os.environ.get("MIRA_MSM_BUCKET_COMPLETE", "always")
         if mode == "cond":
             return jax.lax.cond(jnp.any(collide > 0), fix, lambda r: r, res)
         if mode == "always":

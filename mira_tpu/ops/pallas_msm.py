@@ -21,7 +21,7 @@ import numpy as np
 
 from ..curves.host import CurveParams
 from ..curves.jax_curve import jacobian_ops
-from ..fields.limbs import LIMB_BITS, NUM_LIMBS
+from ..fields.limbs import LIMB_BITS, NUM_LIMBS, int_to_limbs
 from .pallas_field import tfield
 
 DEFAULT_BLOCK = 512
@@ -523,26 +523,44 @@ def _bucket_carry_tables(num_bits: int, window: int):
     return thr, msk
 
 
-def _msm_pallas_bucket_jit(modulus: int, num_bits: int, block: int,
-                           interpret: bool):
-    """True-bucket Pippenger: points accumulate RAW into per-magnitude XYZZ
-    buckets (one 8M+2S mixed add per point per window — no per-point
-    multiples table), windows are the outer grid axis combined Horner-style
-    into a running accumulator, and each window finalizes with a
-    suffix-summed bucket reduction.
+@lru_cache(maxsize=None)
+def _msm_pallas_bucket_jit(curve_name: str, num_bits: int, block: int,
+                           interpret: bool, kw: int):
+    """True-bucket Pippenger, two kernels.
 
-    vs the table kernel (_msm_pallas_pippenger_signed_jit): drops the 16
-    point-ops/pt table build and replaces the 12M+4S Jacobian window adds
-    with 8M+2S affine-operand XYZZ madds; the new costs are a 2x16-select
-    bucket gather/scatter per point (cheap logicals) and an amortized
-    ~2*ntab adds per window of suffix summing.  ~600 muls/pt vs ~1100.
+    ACCUMULATE: grid (nwin/kw, n/block); each cell recodes kw windows'
+    signed digits (closed-form carries — no serial recode chain, see
+    _bucket_carry_tables) and mixed-adds each point RAW into its
+    per-(window, magnitude) XYZZ bucket, held in the OUTPUT buffer which
+    stays VMEM-resident for a whole window group (revisit pattern).  kw > 1
+    gives the scheduler independent madd chains to interleave: consecutive
+    points in ONE window form a serial dependency through the bucket
+    read-modify-write, which otherwise bounds throughput by chain latency.
+    vs the table kernel (_msm_pallas_pippenger_signed_jit): no 16-point-op
+    per-point multiples table, and the window adds are 8M+2S affine madds
+    instead of 12M+4S Jacobian adds — ~600 muls/pt vs ~1100.
 
-    Exact on adversarial inputs: identity/opposite cases are handled by the
-    madd's selects, and the P == Q doubling case (possible when the caller
-    passes duplicate bases) is fixed up by a rarely-taken lax.cond
-    (TField.xyzz_madd_complete) — unlike the table kernels this kernel has
-    no distinct-bases precondition.  Points must be affine-or-infinity
-    (Z in {0,1}), which every commitment-key caller satisfies.
+    FINALIZE: grid (nwin,) over the bucket arrays — per window a
+    suffix-summed bucket reduction (sum_v v*B_v), Horner-combined into a
+    running accumulator (windows stored most-significant first), then one
+    cross-lane reduction.  Kept OUT of the accumulate kernel: Mosaic
+    executes @pl.when bodies predicated (masked stores, real compute), so
+    an embedded finalize was paying ~1100 muls in EVERY grid cell — 8x the
+    whole kernel.
+
+    Completeness by OFFSET BUCKETS: every bucket starts at a fixed
+    nothing-up-my-sleeve point R (hash-to-curve of "mira/bucket-offset/v1")
+    instead of the identity, so the incomplete madd's unsupported
+    acc == P doubling case requires a known discrete-log relation to R —
+    impossible to hit accidentally even with duplicate bases, zero
+    scalars, or all-identical lanes (and a deliberate hit only corrupts
+    the caller's own commitment).  The aggregate bias K*R
+    (K = 136 * sum_w 32^w) is cancelled by ONE precomputed -K*R madd in
+    the emit step.  This keeps the hot loop at the incomplete madd's
+    8M+2S — the naive completeness fixes cost 2x (unconditional double)
+    or stalled Mosaic (lax.cond per cell).  Identity and opposite
+    operands are exact as always.  Points must be affine-or-infinity
+    (Z in {0, 1}) — every commitment-key caller satisfies this.
 
     Reference counterpart: halo2's best_multiexp bucket loop
     (/root/reference/src/commitment.rs:78-87)."""
@@ -557,24 +575,54 @@ def _msm_pallas_bucket_jit(modulus: int, num_bits: int, block: int,
         memory_space = None
 
     assert num_bits <= 255, "signed-digit kernel assumes scalars < 2^255"
+    import hashlib
+
+    from ..curves.host import BN254_G1, GRUMPKIN
+    from .commitment import map_to_curve
+
+    curve = BN254_G1 if curve_name == "bn254" else GRUMPKIN
+    modulus = curve.base_modulus
     tf = tfield(modulus, interpret, lazy=True)
     W = SWINDOW
     nwin = (num_bits + W - 1) // W + 1
     ntab = 1 << (W - 1)  # bucket magnitudes 1..16
+    if nwin % kw:
+        kw = 1
+    ngrp = nwin // kw
     thr_np, msk_np = _bucket_carry_tables(num_bits, W)
+
+    # offset point R and its cancellation -K*R (see docstring)
+    r_mod = curve.scalar_modulus
+    R_pt = map_to_curve(
+        curve, hashlib.sha3_256(b"mira/bucket-offset/v1").digest()
+    )
+    # every one of the `block` lanes carries its own R-initialized bucket
+    # set, so the aggregate bias after the cross-lane reduction is
+    # block * K * R
+    K = (ntab * (ntab + 1) // 2) * (((1 << (W * nwin)) - 1) // ((1 << W) - 1))
+    C_pt = R_pt.scalar_mul((-K * block) % r_mod)
+
+    def _mont_limbs(v):
+        return [int(x) for x in
+                int_to_limbs((v << (LIMB_BITS * NUM_LIMBS)) % modulus)]
+
+    Rx_limbs = _mont_limbs(R_pt.x.v)
+    Ry_limbs = _mont_limbs(R_pt.y.v)
+    Cx_limbs = _mont_limbs(C_pt.x.v)
+    Cy_limbs = _mont_limbs(C_pt.y.v)
+    # rows in w_idx (descending-window) order so SMEM blocks slice directly
+    thr_rev = thr_np[::-1, None, :].copy()
+    msk_rev = msk_np[::-1, None, :].copy()
 
     def _lane_roll(x, s):
         if interpret:
             return jnp.roll(x, -s, axis=1)
         return pltpu.roll(x, shift=(-s) % x.shape[1], axis=1)
 
-    def kernel(thr_ref, msk_ref, sc_ref, x_ref, y_ref, z_ref,
-               ox_ref, oy_ref, oz_ref,
-               bX, bY, bZZ, bZZZ, sX, sY, sZZ, sZZZ):
-        w_idx = pl.program_id(0)
+    def acc_kernel(thr_ref, msk_ref, sc_ref, x_ref, y_ref, z_ref,
+                   bX, bY, bZZ, bZZZ):
+        g = pl.program_id(0)
         step = pl.program_id(1)
-        nsteps = pl.num_programs(1)
-        w = nwin - 1 - w_idx  # descending windows for the Horner combine
         B = x_ref.shape[1]
         zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
         one = tf.one_tile(B)
@@ -583,145 +631,174 @@ def _msm_pallas_bucket_jit(modulus: int, num_bits: int, block: int,
         dmask = jnp.uint32(2 * ntab - 1)
 
         @pl.when(step == 0)
-        def _init_buckets():
-            bX[...] = jnp.zeros((ntab, NUM_LIMBS, B), jnp.uint32)
-            bY[...] = jnp.broadcast_to(one[None], (ntab, NUM_LIMBS, B))
-            bZZ[...] = jnp.zeros((ntab, NUM_LIMBS, B), jnp.uint32)
-            bZZZ[...] = jnp.broadcast_to(one[None], (ntab, NUM_LIMBS, B))
+        def _init():
+            # every bucket starts at the offset point R = (Rx, Ry, 1, 1)
+            shape = (kw * ntab, NUM_LIMBS, B)
+            bX[...] = jnp.broadcast_to(tf._tile(Rx_limbs, B)[None], shape)
+            bY[...] = jnp.broadcast_to(tf._tile(Ry_limbs, B)[None], shape)
+            bZZ[...] = jnp.broadcast_to(one[None], shape)
+            bZZZ[...] = jnp.broadcast_to(one[None], shape)
 
-        # -- signed digit for window w: raw 5 bits + closed-form carry ------
         sc = sc_ref[...]
-        bit = w * W
-        l0 = bit // LIMB_BITS
-        r = (bit % LIMB_BITS).astype(jnp.uint32)
-        low = sc_ref[pl.ds(l0, 1), :][0] >> r
-        l1 = jnp.minimum(l0 + 1, NUM_LIMBS - 1)
-        hi = sc_ref[pl.ds(l1, 1), :][0] << (jnp.uint32(LIMB_BITS) - r)
-        valid = jnp.where(l0 + 1 <= NUM_LIMBS - 1,
-                          jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-        raw = (low | (hi & valid)) & dmask
-
-        # thr_ref/msk_ref hold window w's row (SMEM, sliced by index_map)
-        c = jnp.zeros((B,), jnp.uint32)
-        for i in range(NUM_LIMBS):  # ascending: most significant limb wins
-            s_low_i = sc[i] & msk_ref[0, 0, i]
-            gt = s_low_i > thr_ref[0, 0, i]
-            lt = s_low_i < thr_ref[0, 0, i]
-            c = jnp.where(gt, jnp.uint32(1), jnp.where(lt, jnp.uint32(0), c))
-
-        t = raw + c
-        c_out = jnp.where(t >= half, jnp.uint32(1), jnp.uint32(0))
-        mag = jnp.where(c_out == 1, base - t, t)  # |digit| in [0, 16]
-        negf = jnp.where((c_out == 1) & (mag > 0),
-                         jnp.uint32(1), jnp.uint32(0))
-
         xq = x_ref[...]
         yq = y_ref[...]
-        y2 = tf.select(negf, tf.neg(yq), yq)
         q_inf = tf.is_zero(z_ref[...])
-        take = jnp.where((mag > 0) & (q_inf == 0),
-                         jnp.uint32(1), jnp.uint32(0))
 
-        debug_stage = os.environ.get("MIRA_BUCKET_DEBUG", "full")
+        for k in range(kw):
+            w = nwin - 1 - (g * kw + k)  # descending windows
+            bit = w * W
+            l0 = bit // LIMB_BITS
+            r = (bit % LIMB_BITS).astype(jnp.uint32)
+            low = sc_ref[pl.ds(l0, 1), :][0] >> r
+            l1 = jnp.minimum(l0 + 1, NUM_LIMBS - 1)
+            hi = sc_ref[pl.ds(l1, 1), :][0] << (jnp.uint32(LIMB_BITS) - r)
+            valid = jnp.where(l0 + 1 <= NUM_LIMBS - 1,
+                              jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+            raw = (low | (hi & valid)) & dmask
 
-        # -- gather each lane's bucket, one complete madd, scatter back -----
-        aX, aY, aZZ, aZZZ = zero, one, zero, one
-        if debug_stage in ("gather", "madd", "full"):
+            c = jnp.zeros((B,), jnp.uint32)
+            for i in range(NUM_LIMBS):  # most significant differing limb wins
+                s_low_i = sc[i] & msk_ref[k, 0, i]
+                gt = s_low_i > thr_ref[k, 0, i]
+                lt = s_low_i < thr_ref[k, 0, i]
+                c = jnp.where(gt, jnp.uint32(1),
+                              jnp.where(lt, jnp.uint32(0), c))
+
+            t = raw + c
+            c_out = jnp.where(t >= half, jnp.uint32(1), jnp.uint32(0))
+            mag = jnp.where(c_out == 1, base - t, t)  # |digit| in [0, 16]
+            negf = jnp.where((c_out == 1) & (mag > 0),
+                             jnp.uint32(1), jnp.uint32(0))
+            y2 = tf.select(negf, tf.neg(yq), yq)
+            take = jnp.where((mag > 0) & (q_inf == 0),
+                             jnp.uint32(1), jnp.uint32(0))
+
+            row0 = k * ntab
+            aX, aY, aZZ, aZZZ = zero, one, zero, one
             for v in range(1, ntab + 1):
                 m = jnp.where(mag == v, jnp.uint32(1), jnp.uint32(0))
-                aX = tf.select(m, bX[v - 1], aX)
-                aY = tf.select(m, bY[v - 1], aY)
-                aZZ = tf.select(m, bZZ[v - 1], aZZ)
-                aZZZ = tf.select(m, bZZZ[v - 1], aZZZ)
+                aX = tf.select(m, bX[row0 + v - 1], aX)
+                aY = tf.select(m, bY[row0 + v - 1], aY)
+                aZZ = tf.select(m, bZZ[row0 + v - 1], aZZ)
+                aZZZ = tf.select(m, bZZZ[row0 + v - 1], aZZZ)
 
-        nX, nY, nZZ, nZZZ = aX, aY, aZZ, aZZZ
-        if debug_stage in ("madd", "full"):
-            nX, nY, nZZ, nZZZ = tf.xyzz_madd_complete(
+            # incomplete madd is exact here: acc is never the identity
+            # (offset R) and acc == (xq, y2) needs a dlog relation to R
+            nX, nY, nZZ, nZZZ = tf.xyzz_madd(
                 (aX, aY, aZZ, aZZZ), (xq, y2), take
             )
 
-        if debug_stage in ("gather", "madd", "full"):
             for v in range(1, ntab + 1):
                 m2 = jnp.where((mag == v) & (take == 1),
                                jnp.uint32(1), jnp.uint32(0))
-                bX[pl.ds(v - 1, 1)] = tf.select(m2, nX, bX[v - 1])[None]
-                bY[pl.ds(v - 1, 1)] = tf.select(m2, nY, bY[v - 1])[None]
-                bZZ[pl.ds(v - 1, 1)] = tf.select(m2, nZZ, bZZ[v - 1])[None]
-                bZZZ[pl.ds(v - 1, 1)] = tf.select(m2, nZZZ, bZZZ[v - 1])[None]
+                bX[pl.ds(row0 + v - 1, 1)] = (
+                    tf.select(m2, nX, bX[row0 + v - 1])[None])
+                bY[pl.ds(row0 + v - 1, 1)] = (
+                    tf.select(m2, nY, bY[row0 + v - 1])[None])
+                bZZ[pl.ds(row0 + v - 1, 1)] = (
+                    tf.select(m2, nZZ, bZZ[row0 + v - 1])[None])
+                bZZZ[pl.ds(row0 + v - 1, 1)] = (
+                    tf.select(m2, nZZZ, bZZZ[row0 + v - 1])[None])
 
-        # -- window finalize: suffix-sum buckets, Horner into S -------------
-        @pl.when(step == nsteps - 1)
-        def _finalize():
-            def vbody(i, carry):
-                v = ntab - 1 - i  # descending magnitudes
-                rX, rY, rZZ, rZZZ, tX, tY, tZZ, tZZZ = carry
-                bkt = (bX[pl.ds(v, 1)][0], bY[pl.ds(v, 1)][0],
-                       bZZ[pl.ds(v, 1)][0], bZZZ[pl.ds(v, 1)][0])
-                run = tf.xyzz_add_complete((rX, rY, rZZ, rZZZ), bkt)
-                tot = tf.xyzz_add_complete((tX, tY, tZZ, tZZZ), run)
-                return (*run, *tot)
+    def fin_kernel(bX_ref, bY_ref, bZZ_ref, bZZZ_ref,
+                   ox_ref, oy_ref, oz_ref, sX, sY, sZZ, sZZZ):
+        i = pl.program_id(0)  # i-th window group row = descending window
+        B = bX_ref.shape[2]
+        zero = jnp.zeros((NUM_LIMBS, B), jnp.uint32)
+        one = tf.one_tile(B)
 
-            init = (zero, one, zero, one, zero, one, zero, one)
-            out = jax.lax.fori_loop(0, ntab, vbody, init)
-            tot = out[4:]
+        def vbody(v_i, carry):
+            v = ntab - 1 - v_i  # descending magnitudes
+            rX, rY, rZZ, rZZZ, tX, tY, tZZ, tZZZ = carry
+            bkt = (bX_ref[pl.ds(v, 1)][0], bY_ref[pl.ds(v, 1)][0],
+                   bZZ_ref[pl.ds(v, 1)][0], bZZZ_ref[pl.ds(v, 1)][0])
+            # suffix-sum collisions are STRUCTURAL (tot == run whenever a
+            # run value repeats across empty buckets), not adversarial —
+            # the finalize always pays the complete add; it runs on 52
+            # cells, not per point.
+            run = tf.xyzz_add_complete((rX, rY, rZZ, rZZZ), bkt,
+                                       mode="always")
+            tot = tf.xyzz_add_complete((tX, tY, tZZ, tZZZ), run,
+                                       mode="always")
+            return (*run, *tot)
 
-            @pl.when(w_idx == 0)
-            def _first():
-                sX[...], sY[...], sZZ[...], sZZZ[...] = tot
+        init = (zero, one, zero, one, zero, one, zero, one)
+        out = jax.lax.fori_loop(0, ntab, vbody, init)
+        tot = out[4:]
 
-            @pl.when(w_idx > 0)
-            def _horner():
-                S = (sX[...], sY[...], sZZ[...], sZZZ[...])
-                for _ in range(W):
-                    S = tf.xyzz_double(S)
-                S = tf.xyzz_add_complete(S, tot)
-                sX[...], sY[...], sZZ[...], sZZZ[...] = S
+        @pl.when(i == 0)
+        def _first():
+            sX[...], sY[...], sZZ[...], sZZZ[...] = tot
 
-            # -- last cell: cross-lane reduce + convert to Jacobian ---------
-            @pl.when(w_idx == nwin - 1)
-            def _emit():
-                acc = (sX[...], sY[...], sZZ[...], sZZZ[...])
-                s = B // 2
-                while s >= 1:
-                    rolled = tuple(_lane_roll(cc, s) for cc in acc)
-                    acc = tf.xyzz_add_complete(acc, rolled)
-                    s //= 2
-                jac = tf.xyzz_to_jac(acc)
-                ox_ref[...] = tf.canon(jac[0])
-                oy_ref[...] = tf.canon(jac[1])
-                oz_ref[...] = tf.canon(jac[2])
+        @pl.when(i > 0)
+        def _horner():
+            S = (sX[...], sY[...], sZZ[...], sZZZ[...])
+            for _ in range(W):
+                S = tf.xyzz_double(S)
+            S = tf.xyzz_add_complete(S, tot, mode="always")
+            sX[...], sY[...], sZZ[...], sZZZ[...] = S
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _emit():
+            acc = (sX[...], sY[...], sZZ[...], sZZZ[...])
+            s = B // 2
+            while s >= 1:
+                rolled = tuple(_lane_roll(cc, s) for cc in acc)
+                acc = tf.xyzz_add_complete(acc, rolled, mode="always")
+                s //= 2
+            # cancel the aggregate bucket offset: S += (-K * R)
+            ones_take = jnp.ones((B,), jnp.uint32)
+            acc = tf.xyzz_madd_complete(
+                acc, (tf._tile(Cx_limbs, B), tf._tile(Cy_limbs, B)),
+                ones_take, mode="always",
+            )
+            jac = tf.xyzz_to_jac(acc)
+            ox_ref[...] = tf.canon(jac[0])
+            oy_ref[...] = tf.canon(jac[1])
+            oz_ref[...] = tf.canon(jac[2])
 
     def run(sc, X, Y, Z):
         n = sc.shape[1]
-        grid = (nwin, n // block)
-        kw = {} if memory_space is None else {"memory_space": memory_space}
+        kwargs = {} if memory_space is None else {"memory_space": memory_space}
         skw = {} if memory_space is None else {"memory_space": pltpu.SMEM}
-        blk_spec = pl.BlockSpec((NUM_LIMBS, block), lambda w, i: (0, i), **kw)
-        tab_spec = pl.BlockSpec(
-            (1, 1, NUM_LIMBS), lambda w, i: (nwin - 1 - w, 0, 0), **skw
+        blk = pl.BlockSpec((NUM_LIMBS, block), lambda g, s: (0, s), **kwargs)
+        tab = pl.BlockSpec((kw, 1, NUM_LIMBS), lambda g, s: (g, 0, 0), **skw)
+        bkt_out = pl.BlockSpec(
+            (kw * ntab, NUM_LIMBS, block), lambda g, s: (g, 0, 0), **kwargs
         )
-        out_spec = pl.BlockSpec((NUM_LIMBS, block), lambda w, i: (0, 0), **kw)
+        bkt_shape = jax.ShapeDtypeStruct(
+            (nwin * ntab, NUM_LIMBS, block), jnp.uint32
+        )
+        thr = jnp.asarray(thr_rev)
+        msk = jnp.asarray(msk_rev)
+        buckets = pl.pallas_call(
+            acc_kernel,
+            out_shape=[bkt_shape] * 4,
+            grid=(ngrp, n // block),
+            in_specs=[tab, tab] + [blk] * 4,
+            out_specs=[bkt_out] * 4,
+            interpret=interpret,
+        )(thr, msk, sc, X, Y, Z)
+
+        bkt_in = pl.BlockSpec(
+            (ntab, NUM_LIMBS, block), lambda i: (i, 0, 0), **kwargs
+        )
+        osp = pl.BlockSpec((NUM_LIMBS, block), lambda i: (0, 0), **kwargs)
         out_shape = [
             jax.ShapeDtypeStruct((NUM_LIMBS, block), jnp.uint32)
             for _ in range(3)
         ]
-        scratch = [
-            pltpu.VMEM((ntab, NUM_LIMBS, block), jnp.uint32)
-            for _ in range(4)
-        ] + [
-            pltpu.VMEM((NUM_LIMBS, block), jnp.uint32) for _ in range(4)
-        ]
-        thr = jnp.asarray(thr_np)[:, None, :]
-        msk = jnp.asarray(msk_np)[:, None, :]
+        scratch = [pltpu.VMEM((NUM_LIMBS, block), jnp.uint32)
+                   for _ in range(4)]
         return pl.pallas_call(
-            kernel,
+            fin_kernel,
             out_shape=out_shape,
-            grid=grid,
-            in_specs=[tab_spec, tab_spec] + [blk_spec] * 4,
-            out_specs=[out_spec] * 3,
+            grid=(nwin,),
+            in_specs=[bkt_in] * 4,
+            out_specs=[osp] * 3,
             scratch_shapes=scratch,
             interpret=interpret,
-        )(thr, msk, sc, X, Y, Z)
+        )(*buckets)
 
     return jax.jit(run)
 
@@ -1082,8 +1159,9 @@ def msm_pallas(scalars, points, curve: CurveParams, block: int | None = None,
     if method == "bucket":
         # true-bucket kernel: no distinct-bases precondition (complete on
         # duplicates), but requires affine-or-infinity inputs (Z in {0,1})
+        kw = int(os.environ.get("MIRA_MSM_BUCKET_KW", "2"))
         ox, oy, oz = _msm_pallas_bucket_jit(
-            curve.base_modulus, num_bits, block, interpret
+            curve.name, num_bits, block, interpret, kw
         )(sc_t, Xt, Yt, Zt)
         return (ox[:, 0], oy[:, 0], oz[:, 0])
     if method.startswith("pippenger"):

@@ -172,3 +172,78 @@ def test_fixed_base_kernel_matches_host():
     got = ops.decode_points(tuple(c[None] for c in out))[0]
     want = msm_host(svals, pts)
     assert got == want
+
+
+def test_bucket_closed_form_recoding():
+    """The bucket kernel recodes window digits with CLOSED-FORM carries
+    (c_w = low-bits-exceed-threshold, _bucket_carry_tables) instead of the
+    serial ascending chain; check digit reconstruction and agreement with
+    the chained recoding on random and edge scalars."""
+    from mira_tpu.ops.pallas_msm import SWINDOW, _bucket_carry_tables
+    from mira_tpu.fields.limbs import LIMB_BITS, NUM_LIMBS
+
+    W = SWINDOW
+    num_bits = BN254_G1.scalar_modulus.bit_length()
+    nwin = (num_bits + W - 1) // W + 1
+    thr, msk = _bucket_carry_tables(num_bits, W)
+
+    def limbs_val(arr):
+        return sum(int(v) << (LIMB_BITS * i) for i, v in enumerate(arr))
+
+    thr_v = [limbs_val(thr[w]) for w in range(nwin)]
+    msk_v = [limbs_val(msk[w]) for w in range(nwin)]
+
+    rng = random.Random(31337)
+    cases = [0, 1, 15, 16, 17, 31, 32, (1 << 254) - 1,
+             BN254_G1.scalar_modulus - 1]
+    cases += [rng.randrange(BN254_G1.scalar_modulus) for _ in range(200)]
+    for s in cases:
+        # chained reference recoding
+        chained = []
+        c = 0
+        for w in range(nwin):
+            raw = (s >> (W * w)) & ((1 << W) - 1)
+            t = raw + c
+            c = 1 if t >= (1 << (W - 1)) else 0
+            chained.append(t - (1 << W) * c)
+        assert sum(d << (W * w) for w, d in enumerate(chained)) == s
+
+        # closed-form carries must match the chain
+        for w in range(nwin):
+            c_closed = 1 if (s & msk_v[w]) > thr_v[w] else 0
+            raw = (s >> (W * w)) & ((1 << W) - 1)
+            t = raw + c_closed
+            d = t - (1 << W) * (1 if t >= (1 << (W - 1)) else 0)
+            assert d == chained[w], (hex(s), w, d, chained[w])
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("MIRA_RUN_SLOW"),
+    reason="pallas interpret compile is minutes on CPU; set MIRA_RUN_SLOW=1 "
+    "(device-validated vs host on random/duplicate/identical/edge inputs "
+    "in round 4)",
+)
+def test_bucket_kernel_matches_host_adversarial(monkeypatch):
+    """Bucket kernel == host MSM on adversarial inputs: duplicate bases,
+    zero scalars, infinity lanes (no distinct-bases precondition)."""
+    from mira_tpu.ops.pallas_msm import msm_pallas
+    from mira_tpu.ops.msm import encode_scalars
+    from mira_tpu.curves.jax_curve import jacobian_ops
+
+    monkeypatch.setenv("MIRA_MSM_BUCKET_KW", "1")
+    rng = random.Random(17)
+    curve = BN254_G1
+    ops = jacobian_ops("bn254")
+    P = AffinePoint.random(curve, rng)
+    Q = AffinePoint.random(curve, rng)
+    pts = [P, P, Q, P, Q, Q, P, AffinePoint.identity(curve)]
+    svals = [rng.randrange(curve.scalar_modulus) for _ in range(8)]
+    svals[3] = svals[0]
+    svals[5] = 0
+    sc = encode_scalars(svals, curve.scalar_modulus)
+    enc = ops.encode_points(pts)
+    out = msm_pallas(sc, enc, curve, block=4, method="bucket")
+    got = ops.decode_points(tuple(c[None] for c in out))[0]
+    want = msm_host(svals, pts)
+    assert (got.x.v, got.y.v) == (want.x.v, want.y.v)

@@ -984,7 +984,7 @@ def _msm_pallas_fixed_jit(modulus: int, num_bits: int, block: int,
         base = jnp.uint32(2 * ntab)
         dmask = jnp.uint32(base - 1)
 
-        def wbody(w, c):
+        def one_window(w, c):
             bit = w * window
             l0 = bit // LIMB_BITS
             r = (bit % LIMB_BITS).astype(jnp.uint32)
@@ -1020,7 +1020,20 @@ def _msm_pallas_fixed_jit(modulus: int, num_bits: int, block: int,
             accZZZ[pl.ds(w, 1)] = nZZZ[None]
             return c_out
 
-        jax.lax.fori_loop(0, nwin, wbody, jnp.zeros((B,), jnp.uint32))
+        # KW windows per fori iteration: iterations run strictly serially
+        # in Mosaic, so a 1-window body leaves the madd chain latency-bound
+        # (same finding as the bucket kernel); unrolling gives the scheduler
+        # independent madd chains, threaded only by the cheap digit carry.
+        KW_FB = 4 if nwin % 4 == 0 else (2 if nwin % 2 == 0 else 1)
+
+        def wbody(g, c):
+            w0 = g * KW_FB
+            for k in range(KW_FB):
+                c = one_window(w0 + k, c)
+            return c
+
+        jax.lax.fori_loop(0, nwin // KW_FB, wbody,
+                          jnp.zeros((B,), jnp.uint32))
 
         @pl.when(step == nsteps - 1)
         def _final():

@@ -268,7 +268,23 @@ class VanillaFS:
             # fused Pallas sweep on TPU (all fold points in one pass over
             # the witness columns); native C++ row VM on CPU hosts
             if jax.default_backend() != "cpu":
-                impl = "pallas"
+                # The Pallas evaluator keeps a pre-rotated Montgomery stack
+                # of every queried static column plus the advice/output
+                # stacks RESIDENT in HBM (~64 B x rows x columns); at
+                # TensorStar's k=22 that is >10 GB and OOMs the 16 GB chip
+                # (measured round 4).  Estimate and fall back to the native
+                # row VM past a budget — commits still ride the device.
+                nrow = 1 << S.k
+                ncols = (len(S.selectors) + len(S.fixed_columns)
+                         + sum(S.round_sizes) // max(nrow, 1) + d + 2)
+                est_mb = nrow * 64 * ncols >> 20
+                budget = int(os.environ.get("MIRA_FOLD_EVAL_HBM_MB", "6000"))
+                if est_mb <= budget:
+                    impl = "pallas"
+                else:
+                    from ..polynomial.native_evaluator import available
+
+                    impl = "native" if available() else "xla"
             else:
                 from ..polynomial.native_evaluator import available
 

@@ -170,6 +170,12 @@ def main():
         # (k 19->24, ck 2^23->2^28); MIRA_BENCH_SNARKSTAR_BATCH picks the
         # rung (real keys load as prefixes of the largest cached key).
         batch = int(os.environ.get("MIRA_BENCH_SNARKSTAR_BATCH", "1"))
+        if batch not in (1, 2, 4, 8, 16, 32):
+            raise SystemExit(
+                f"MIRA_BENCH_SNARKSTAR_BATCH={batch} is not a reference "
+                "ladder rung; pick one of 1/2/4/8/16/32 "
+                "(/root/reference/examples/groth16/main.rs:47-77)"
+            )
         from mira_tpu.workloads.snarkstar import ck_sizes, run as snarkstar_run
         from mira_tpu.workloads.snarkstar import table_sizes
 
@@ -181,6 +187,9 @@ def main():
         )
         tail = sorted(step_secs[2:]) if steps > 3 else sorted(step_secs)
         value = tail[len(tail) // 2]
+        # per-rung CPU-runtime baselines (BASELINE.md round-1); rungs never
+        # measured on CPU get no ratio rather than a meaningless one
+        cpu_base = {1: 21.5, 2: 61.5}.get(batch)
         print(
             json.dumps(
                 {
@@ -188,7 +197,9 @@ def main():
                               f"-ck{k_ck}/{backend}",
                     "value": round(value, 2),
                     "unit": "s/step",
-                    "vs_baseline": round(21.5 / value, 4),
+                    "vs_baseline": (
+                        round(cpu_base / value, 4) if cpu_base else None
+                    ),
                     "all_steps": [round(s, 1) for s in step_secs],
                 }
             )
@@ -423,6 +434,7 @@ def main():
             )
             return
 
+    bucket_check = None
     if backend == "tpu":
         # bucket-accumulation Pallas kernel (round 4): complete on the
         # duplicate-heavy tiled bases via offset buckets
@@ -430,6 +442,38 @@ def main():
 
         def msm_fn(s, p, c):
             return msm_pallas(s, p, c, method="bucket")
+
+        # Device-executed correctness smoke for the DEFAULT generic-base
+        # commitment kernel (VERDICT r4 item 5a / ADVICE r4 medium): the
+        # full adversarial case is MIRA_RUN_SLOW-gated in CI because the
+        # Pallas interpreter compiles it minutes-slow on CPU; here the
+        # COMPILED kernel checks against the host MSM on a duplicate/zero/
+        # infinity-lane input every bench run, so the driver-recorded
+        # artifact certifies the kernel the suite can't.
+        chk_rng = random.Random(99)
+        chk_base = [AffinePoint.random(BN254_G1, chk_rng) for _ in range(8)]
+        chk_pts = [chk_base[i % 7] for i in range(255)]
+        chk_pts.append(AffinePoint.identity(BN254_G1))
+        chk_sc = [
+            chk_rng.randrange(BN254_G1.scalar_modulus) for _ in range(256)
+        ]
+        chk_sc[3] = chk_sc[10]  # exact (scalar, point) duplicate pair
+        chk_sc[5] = 0
+        chk_ops = jacobian_ops("bn254")
+        chk_out = msm_pallas(
+            encode_scalars(chk_sc, BN254_G1.scalar_modulus),
+            chk_ops.encode_points(chk_pts), BN254_G1, method="bucket",
+        )
+        chk_got = chk_ops.decode_points(tuple(c[None] for c in chk_out))[0]
+        from mira_tpu.curves.host import msm_host
+
+        chk_want = msm_host(chk_sc, chk_pts)
+        if (chk_got.x.v, chk_got.y.v) != (chk_want.x.v, chk_want.y.v):
+            raise SystemExit(
+                "bucket kernel correctness smoke FAILED on device: "
+                f"got {chk_got}, want {chk_want}"
+            )
+        bucket_check = "pass"
     else:
         msm_fn = msm
 
@@ -465,16 +509,15 @@ def main():
         [np.asarray(c) for c in out]
     dt = (time.perf_counter() - t0) / reps
     value = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"msm_points_per_sec@2^{log_n}/{backend}",
-                "value": round(value, 1),
-                "unit": "points/s",
-                "vs_baseline": round(value / 1e6, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": f"msm_points_per_sec@2^{log_n}/{backend}",
+        "value": round(value, 1),
+        "unit": "points/s",
+        "vs_baseline": round(value / 1e6, 4),
+    }
+    if bucket_check:
+        rec["bucket_check"] = bucket_check
+    print(json.dumps(rec))
 
 
 def _scaling_driver():

@@ -426,7 +426,8 @@ class IVC:
             ]
             for name, check in checks:
                 try:
-                    check()
+                    with span(f"verify:{name.replace(' ', '_')}"):
+                        check()
                 except SatError as e:
                     errors.append(f"{name}: {e}")
 

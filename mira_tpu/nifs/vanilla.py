@@ -152,6 +152,26 @@ def _combine_slices_jit(p: int, d: int):
     return jax.jit(run)
 
 
+def fold_eval_est_bytes(S: PlonkStructure, d: int) -> int:
+    """Cheap estimate of the Pallas fold evaluator's ADDITIONAL HBM residency
+    at structure S with fold degree d, WITHOUT building the evaluator
+    (building it would allocate the very static stack the estimate guards
+    against).  ncols ~= static queried columns (selectors + fixed) + the two
+    instances' stacked advice copies + outputs/transients; 64 B per row per
+    column (16 uint32 limbs).  The input witness vectors are excluded — they
+    are resident whichever evaluator backend runs.  tests/test_nifs.py pins
+    this against PallasFoldEvaluator.resident_bytes (the query-exact model)
+    to ±25% so evaluator drift can't silently flip the auto-fallback."""
+    nrow = 1 << S.k
+    ncols = (len(S.selectors) + len(S.fixed_columns)
+             + sum(S.round_sizes) // max(nrow, 1) + d + 2)
+    return nrow * 64 * ncols
+
+
+def fold_eval_est_mb(S: PlonkStructure, d: int) -> int:
+    return fold_eval_est_bytes(S, d) >> 20
+
+
 def _debug_check_assume_sat(S: PlonkStructure, W1, W2, ch1, ch2):
     """MIRA_DEBUG_SAT guard for the `assume_sat` cross-term shortcut.
 
@@ -274,10 +294,7 @@ class VanillaFS:
                 # TensorStar's k=22 that is >10 GB and OOMs the 16 GB chip
                 # (measured round 4).  Estimate and fall back to the native
                 # row VM past a budget — commits still ride the device.
-                nrow = 1 << S.k
-                ncols = (len(S.selectors) + len(S.fixed_columns)
-                         + sum(S.round_sizes) // max(nrow, 1) + d + 2)
-                est_mb = nrow * 64 * ncols >> 20
+                est_mb = fold_eval_est_mb(S, d)
                 budget = int(os.environ.get("MIRA_FOLD_EVAL_HBM_MB", "6000"))
                 if est_mb <= budget:
                     impl = "pallas"

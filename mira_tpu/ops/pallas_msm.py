@@ -525,7 +525,7 @@ def _bucket_carry_tables(num_bits: int, window: int):
 
 @lru_cache(maxsize=None)
 def _msm_pallas_bucket_jit(curve_name: str, num_bits: int, block: int,
-                           interpret: bool, kw: int):
+                           interpret: bool, kw: int, window: int = SWINDOW):
     """True-bucket Pippenger, two kernels.
 
     ACCUMULATE: grid (nwin/kw, n/block); each cell recodes kw windows'
@@ -562,17 +562,24 @@ def _msm_pallas_bucket_jit(curve_name: str, num_bits: int, block: int,
     operands are exact as always.  Points must be affine-or-infinity
     (Z in {0, 1}) — every commitment-key caller satisfies this.
 
+    HARD PRECONDITION: bases must be fixed nothing-up-my-sleeve points with
+    no known discrete-log relation to R ("mira/bucket-offset/v1") or to each
+    other.  R is a public constant, so an adversary-SUPPLIED base set can
+    deliberately hit the incomplete madd's acc == P case (e.g. P2 = R + P1)
+    and silently corrupt the sum.  All current call sites are prover-side
+    hash-derived commitment keys, which satisfy this by construction; do NOT
+    route untrusted points (e.g. verifier-side aggregation) through this
+    kernel.
+
     Reference counterpart: halo2's best_multiexp bucket loop
     (/root/reference/src/commitment.rs:78-87)."""
     from jax.experimental import pallas as pl
+    # no pltpu-less fallback: run() uses pltpu.SMEM BlockSpecs, pltpu.VMEM
+    # scratch and (compiled) pltpu.roll unconditionally — a None fallback
+    # would only trade ImportError for AttributeError (ADVICE r4)
+    from jax.experimental.pallas import tpu as pltpu
 
-    try:
-        from jax.experimental.pallas import tpu as pltpu
-
-        memory_space = pltpu.VMEM
-    except Exception:  # pragma: no cover
-        pltpu = None
-        memory_space = None
+    memory_space = pltpu.VMEM
 
     assert num_bits <= 255, "signed-digit kernel assumes scalars < 2^255"
     import hashlib
@@ -583,7 +590,7 @@ def _msm_pallas_bucket_jit(curve_name: str, num_bits: int, block: int,
     curve = BN254_G1 if curve_name == "bn254" else GRUMPKIN
     modulus = curve.base_modulus
     tf = tfield(modulus, interpret, lazy=True)
-    W = SWINDOW
+    W = window  # SWINDOW in production; tests shrink it (fewer buckets)
     nwin = (num_bits + W - 1) // W + 1
     ntab = 1 << (W - 1)  # bucket magnitudes 1..16
     if nwin % kw:
@@ -1148,7 +1155,15 @@ def msm_pallas(scalars, points, curve: CurveParams, block: int | None = None,
     (/root/reference/src/commitment.rs:52-76) satisfy this by construction;
     for arbitrary possibly-duplicated bases use ops.msm.msm (complete adds)
     or dedup on the host first.  Zero scalars and infinity padding lanes
-    are exact."""
+    are exact.
+
+    PRECONDITION (method="bucket"): duplicates ARE complete (offset
+    buckets), but bases must still be fixed nothing-up-my-sleeve points
+    with no known dlog relation to the public offset point R or to each
+    other — adversary-chosen bases (P2 = R + P1) can deliberately hit the
+    incomplete madd's acc == P case.  Prover-side hash-derived keys
+    qualify; untrusted verifier-side point sets do not (see
+    _msm_pallas_bucket_jit)."""
     import jax
 
     if block is None:

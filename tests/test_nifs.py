@@ -373,3 +373,56 @@ def test_debug_sat_guard(monkeypatch):
     good_trace = VanillaFS.generate_plonk_trace(ck, [], advice, pp, ro())
     acc1, _ = VanillaFS.prove(ck, pp, ro(), acc, good_trace, rng=random.Random(7))
     S.is_sat_relaxed(ck, acc1.U, acc1.W)
+
+
+@pytest.mark.parametrize(
+    "circuit_cls", [MulCircuit, TwoGateCircuit, FiboCircuit]
+)
+def test_fold_eval_hbm_estimate_pinned(circuit_cls):
+    """VERDICT r4 weak 6: the auto-fallback's cheap residency estimate
+    (nifs/vanilla.fold_eval_est_bytes — decides Pallas vs native row VM
+    WITHOUT building the evaluator) must track the evaluator's query-exact
+    residency model (PallasFoldEvaluator.resident_bytes) to within ±25%,
+    so a drift in what the evaluator keeps resident can't silently flip
+    workloads onto the wrong backend or back into OOM territory."""
+    from mira_tpu.nifs.vanilla import fold_eval_est_bytes
+
+    S, _advice, _ck = setup(circuit_cls)
+    d = S.get_degree_for_folding() - 1
+    est = fold_eval_est_bytes(S, d)
+    pev = S._pallas_fold_evaluator()
+    actual = pev.resident_bytes(max(d - 1, 1))  # steady-state interior points
+    assert abs(est - actual) <= 0.25 * actual, (
+        f"{circuit_cls.__name__}: estimate {est} vs actual {actual} "
+        f"({est / actual:.2f}x) — correct fold_eval_est_bytes"
+    )
+
+
+@pytest.mark.parametrize("circuit_cls", [TwoGateCircuit])
+def test_decider_eval_via_fold_evaluator_matches_column(circuit_cls):
+    """The decider's gate evaluation now rides the prover's multi-point
+    fold evaluator at j=0 (plonk/structure._eval_full): the homogeneous
+    expression at u=1 must equal the compressed one on every row, and the
+    j=0 homogeneous evaluation at (challenges, u) must match the column
+    evaluator — pins the u=1 identity the routing relies on."""
+    import numpy as np
+
+    S, advice, _ck = setup(circuit_cls)
+    nrow = 1 << S.k
+    lf = S.lf
+    W = []
+    for col in advice:
+        W.extend(col + [0] * (nrow - len(col)))
+    Ws = (lf.encode(W),)
+    rng = random.Random(5)
+    challenges = [rng.randrange(S.modulus) for _ in range(S.num_challenges)]
+
+    pev = S._pallas_fold_evaluator()
+    for which, ch in (
+        ("compressed", challenges + [1]),
+        ("homogeneous", challenges + [rng.randrange(S.modulus)]),
+    ):
+        out = pev.fold_eval_multi(Ws, Ws, [0], ch, [0] * len(ch))[0]
+        ev = S._evaluator(which)
+        want = ev(Ws, (), ch[:-1] if which == "compressed" else ch)
+        assert np.array_equal(np.asarray(out), np.asarray(want)), which

@@ -220,9 +220,11 @@ def test_bucket_closed_form_recoding():
 @pytest.mark.slow
 @pytest.mark.skipif(
     not os.environ.get("MIRA_RUN_SLOW"),
-    reason="pallas interpret compile is minutes on CPU; set MIRA_RUN_SLOW=1 "
-    "(device-validated vs host on random/duplicate/identical/edge inputs "
-    "in round 4)",
+    reason="pallas interpret compile is minutes on CPU even at reduced "
+    "window/bits; set MIRA_RUN_SLOW=1.  Standing coverage for the COMPILED "
+    "kernel: every `MIRA_BENCH_METRIC=msm` bench run first checks the "
+    "device kernel against msm_host on a duplicate/zero/infinity-lane "
+    "input and records bucket_check in the artifact (bench.py)",
 )
 def test_bucket_kernel_matches_host_adversarial(monkeypatch):
     """Bucket kernel == host MSM on adversarial inputs: duplicate bases,

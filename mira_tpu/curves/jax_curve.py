@@ -38,6 +38,32 @@ class JacobianOps:
         from ..fields.host import field
 
         F = field(self.curve.base_modulus)
+        n = pt[0].shape[0]
+        if n <= 64:
+            # tiny batches (MSM results): from-Montgomery in host python —
+            # lf.decode would dispatch a device CIOS + sync PER coordinate,
+            # three tunnel round trips for 16 limbs of data
+            import numpy as np
+
+            from ..fields.limbs import limbs_to_int
+
+            p = self.curve.base_modulus
+            rinv = pow(1 << (16 * NUM_LIMBS), -1, p)
+            arrs = [np.asarray(c) for c in pt]
+            xs, ys, zs = (
+                [(limbs_to_int(row) * rinv) % p for row in a] for a in arrs
+            )
+            out = []
+            for x, y, z in zip(xs, ys, zs):
+                if z == 0:
+                    out.append(AffinePoint.identity(self.curve))
+                else:
+                    zinv = pow(z, -1, p)
+                    zi2 = (zinv * zinv) % p
+                    out.append(
+                        AffinePoint(self.curve, F(x * zi2), F(y * zi2 * zinv))
+                    )
+            return out
         xs, ys, zs = (self.lf.decode(c) for c in pt)
         out = []
         for x, y, z in zip(xs, ys, zs):

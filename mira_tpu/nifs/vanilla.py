@@ -372,19 +372,18 @@ class VanillaFS:
 
         with span("cross_term_commit"):
             commit_many = getattr(ck, "commit_device_many", None)
-
-            def _commit_all(terms):
-                if commit_many is not None:
-                    return commit_many(terms, mesh=mesh)
-                return [ck.commit_device(t, mesh=mesh) for t in terms]
-
-            if assume_sat and d >= 1:
-                # T_d = 0 on satisfied traces (leading-coefficient
-                # invariant) — its commitment is the identity, no MSM
-                g1_commits = _commit_all(cross_terms[:-1])
-                g1_commits.append(AffinePoint.identity(S.curve))
+            skip_last = assume_sat and d >= 1
+            # T_d = 0 on satisfied traces (leading-coefficient invariant)
+            # — its commitment is the identity, no MSM
+            terms = cross_terms[:-1] if skip_last else cross_terms
+            if commit_many is not None:
+                # two-phase: dispatch the MSMs now, decode AFTER the host
+                # has produced the Gt cross terms below — the pairings run
+                # while the device works (VERDICT r4 item 3 overlap)
+                decode = commit_many(terms, mesh=mesh, defer=True)
             else:
-                g1_commits = _commit_all(cross_terms)
+                pts = [ck.commit_device(t, mesh=mesh) for t in terms]
+                decode = lambda: pts  # noqa: E731
         ctx = getattr(S, "groth16_ctx", None)
         if ctx is not None:
             # real bilinear pairing cross terms (snark/groth16.py) — the
@@ -397,6 +396,11 @@ class VanillaFS:
                 Tuple12.generator(Fb).scalar_mul(rng.randrange(p))
                 for _ in range(S.target_group_cross_terms)
             ]
+        with span("cross_term_commit"):
+            g1_commits = decode()
+            if skip_last:
+                g1_commits = list(g1_commits)
+                g1_commits.append(AffinePoint.identity(S.curve))
         return cross_terms, (g1_commits, gt_commits)
 
     # -- challenge -----------------------------------------------------------

@@ -303,10 +303,14 @@ class CommitmentKey:
             )
         return total
 
-    def commit_device_many(self, vectors, mesh=None) -> List[AffinePoint]:
+    def commit_device_many(self, vectors, mesh=None, defer=False):
         """Commit a list of equal-length Montgomery vectors, decoding all
         results in one host sync instead of blocking per MSM (the per-call
-        decode stall costs ~1/3 of a cross-term commit at 2^17)."""
+        decode stall costs ~1/3 of a cross-term commit at 2^17).
+
+        With defer=True, returns a zero-arg callable that performs the
+        decode — the caller can do host work (e.g. the Gt pairing cross
+        terms) while the dispatched MSMs run on the device."""
         import jax
 
         if (
@@ -314,7 +318,8 @@ class CommitmentKey:
             or jax.default_backend() in ("cpu",)
             or os.environ.get("MIRA_MSM", "auto") not in ("auto", "pallas")
         ):
-            return [self.commit_device(v, mesh=mesh) for v in vectors]
+            pts = [self.commit_device(v, mesh=mesh) for v in vectors]
+            return (lambda: pts) if defer else pts
         from ..utils.tracing import span
 
         outs = []
@@ -328,14 +333,21 @@ class CommitmentKey:
                         f"input too long: {n} > key size {len(self)}"
                     )
                 outs.append(self._msm_device(lf.to_plain(v)))
-        with span("ct_decode"):
-            # one gather for all results
-            flat = [np.asarray(c) for out in outs for c in out]
-            pts = []
-            for i in range(len(outs)):
-                triple = tuple(flat[3 * i + j][None] for j in range(3))
-                pts.append(ops.decode_points(triple)[0])
-        return pts
+
+        def _decode():
+            with span("ct_decode"):
+                # ONE batched device->host gather for every result: each
+                # np.asarray is its own round trip over the (remote) device
+                # link, and a dozen of them per decode dominated the span
+                # at tunnel latencies
+                flat = jax.device_get([c for out in outs for c in out])
+                pts = []
+                for i in range(len(outs)):
+                    triple = tuple(flat[3 * i + j][None] for j in range(3))
+                    pts.append(ops.decode_points(triple)[0])
+            return pts
+
+        return _decode if defer else _decode()
 
     def _msm_device(self, scalars):
         """Dispatch one device MSM over plain-limb scalars; returns the
@@ -459,12 +471,23 @@ class CommitmentKey:
             )
         ops = jacobian_ops(self.curve.name)
         if table is not None:
+            from ..curves.host import LazyAffinePoint
             from .pallas_msm import msm_pallas_fixed
 
             with span("delta_msm"):
                 out = fence(msm_pallas_fixed(delta, table, self.curve, window))
-            with span("delta_decode"):
-                d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
+
+            # LAZY decode (VERDICT r4 item 3): the MSM is dispatched here,
+            # but the host sync slides to the first coordinate access —
+            # the next NIFS prove's transcript absorption — by which time
+            # the cross-term evaluation and MSMs are already queued behind
+            # it on the device.
+            def _materialize(out=out, C_t=C_t):
+                with span("delta_decode"):
+                    d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
+                return C_t.add(d_pt)
+
+            return LazyAffinePoint(self.curve, _materialize)
         elif jax.default_backend() not in ("cpu",):
             # no table (HBM pressure): generic device kernel over the
             # gathered key points — still only nwrites points
@@ -487,7 +510,14 @@ class CommitmentKey:
             )
             out = msm_pallas(delta, gpts, self.curve,
                              method=_generic_msm_method())
-            d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
+            from ..curves.host import LazyAffinePoint
+
+            def _materialize(out=out, C_t=C_t):
+                with span("delta_decode"):
+                    d_pt = ops.decode_points(tuple(c[None] for c in out))[0]
+                return C_t.add(d_pt)
+
+            return LazyAffinePoint(self.curve, _materialize)
         else:
             # host fallback (CPU backends)
             vals = lf.decode(dw.delta_mont())

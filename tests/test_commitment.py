@@ -139,3 +139,71 @@ def test_commit_delta_matches_full_commit():
     for p, v in zip(positions_np, new_vals2):
         want2[int(p)] = v
     assert ck.commit_delta(dw2) == ck.commit_ints(want2)
+
+
+def test_delta_template_commitment_persists(tmp_path):
+    """The template commitment is deterministic per (key, template bytes);
+    commit_delta persists it under .cache/fbtab/ and a fresh process (here:
+    a fresh CommitmentKey object) loads it instead of re-running the
+    full-width one-shot MSM (VERDICT r4 item 4 cold-start persistence)."""
+    import glob
+    import random
+
+    import jax.numpy as jnp
+
+    from mira_tpu.fields.limbs import ints_to_limbs, limb_field
+    from mira_tpu.table.packed import DeviceWitness
+
+    rng = random.Random(11)
+    curve = BN254_G1
+    num_cols, nrow = 2, 32
+    n = num_cols * nrow
+    d = str(tmp_path / "ck")
+    ck = CommitmentKey.load_or_setup_cache(curve, 6, "persist", cache_dir=d)
+    lf = limb_field(curve.scalar_modulus)
+
+    template_vals = [rng.randrange(curve.scalar_modulus) for _ in range(n)]
+    template_raw16 = ints_to_limbs(template_vals)
+    template_mont = lf.encode(template_vals)
+    positions_np = np.asarray(sorted(rng.sample(range(n), 10)), dtype=np.int64)
+    positions = jnp.asarray(positions_np, dtype=jnp.int32)
+    new_vals = [rng.randrange(curve.scalar_modulus) for _ in positions_np]
+
+    class _Tok:
+        packed_template = template_raw16
+
+    dw = DeviceWitness(
+        lf, _Tok(), template_mont, template_mont[positions],
+        positions, positions_np, jnp.asarray(ints_to_limbs(new_vals)),
+        num_cols, nrow,
+    )
+    want = list(template_vals)
+    for p, v in zip(positions_np, new_vals):
+        want[int(p)] = v
+    assert ck.commit_delta(dw) == ck.commit_ints(want)
+    saved = glob.glob(str(tmp_path / "fbtab" / "**" / "ctmpl-*.npy"),
+                      recursive=True)
+    assert saved, "template commitment not persisted"
+
+    # fresh key object (second process analog): must LOAD the persisted
+    # template commitment and still agree
+    ck2 = CommitmentKey.load_or_setup_cache(curve, 6, "persist", cache_dir=d)
+    dw2 = DeviceWitness(
+        lf, _Tok(), template_mont, template_mont[positions],
+        positions, positions_np, jnp.asarray(ints_to_limbs(new_vals)),
+        num_cols, nrow,
+    )
+    assert ck2.commit_delta(dw2) == ck.commit_ints(want)
+
+    # corruption guard: flip a limb of the cached point -> off-curve ->
+    # recomputed (not trusted)
+    arr = np.load(saved[0])
+    arr[0, 0] ^= 1
+    np.save(saved[0], arr)
+    ck3 = CommitmentKey.load_or_setup_cache(curve, 6, "persist", cache_dir=d)
+    dw3 = DeviceWitness(
+        lf, _Tok(), template_mont, template_mont[positions],
+        positions, positions_np, jnp.asarray(ints_to_limbs(new_vals)),
+        num_cols, nrow,
+    )
+    assert ck3.commit_delta(dw3) == ck.commit_ints(want)

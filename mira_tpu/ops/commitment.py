@@ -617,6 +617,17 @@ class CommitmentKey:
             # trivial runtime)
             use_pallas = jax.default_backend() not in ("cpu",) and n_pad >= 4096
         if use_pallas:
+            # Fixed-base tables are for the RECURRING per-step MSM widths
+            # (cross terms / deltas via _msm_device).  Full-width commits
+            # land here only as one-shots — zero-step rounds, templates,
+            # the decider — and the IVC init's two zero-step commits at one
+            # width used to trick the recurrence heuristic into building
+            # (round 5: a 4 GB w=6 table, minutes of build + load, for two
+            # commits the bucket kernel does in seconds).  Opt back in with
+            # MIRA_MSM_FB_FULL=1 for non-IVC flows with hot full commits.
+            allow_fb = allow_fb and (
+                os.environ.get("MIRA_MSM_FB_FULL", "0") == "1"
+            )
             tab = self._fixed_table(n_pad) if allow_fb else None
             if tab is not None:
                 from .pallas_msm import msm_pallas_fixed

@@ -95,10 +95,25 @@ def run(repeat_count: int = 1, matrix_dim: int = 32, baseline: bool = False,
     )
     print(f"public params: {time.time() - t0:.1f}s")
 
+    def _hbm(tag):
+        """Log device HBM occupancy (footprint evidence for the k=22
+        HBM budget — the 16 GB chip is the binding constraint here)."""
+        try:
+            import jax
+
+            st = jax.local_devices()[0].memory_stats() or {}
+            used = st.get("bytes_in_use", 0) >> 20
+            lim = st.get("bytes_limit", 0) >> 20
+            print(f"hbm[{tag}]: {used} MiB in use / {lim} MiB limit",
+                  flush=True)
+        except Exception:
+            pass
+
     z0 = [sc1.front_proof_batch()[0].root().old]
     t0 = time.time()
     ivc = IVC(pp, sc1, z0, sc2, [0], debug_mode=debug_mode)
     print(f"ivc zero step: {time.time() - t0:.1f}s", flush=True)
+    _hbm("post-zero-step")
     step_secs = []
     for step in range(repeat_count):
         sc1.pop_front_proof_batch()
@@ -106,6 +121,7 @@ def run(repeat_count: int = 1, matrix_dim: int = 32, baseline: bool = False,
         ivc.fold_step()
         step_secs.append(time.time() - t0)
         print(f"fold step {step + 1}: {step_secs[-1]:.1f}s", flush=True)
+        _hbm(f"post-step-{step + 1}")
     if not use_mock_ck:
         for ck in (ck1, ck2):
             release = getattr(ck, "release_device_cache", None)

@@ -630,9 +630,24 @@ def _scaling_worker():
             BN254_G1.scalar_modulus,
         )
 
-        def run():
-            out = sharded_msm(sc, enc_pts, BN254_G1, mesh)
-            jax.block_until_ready(out)
+        if jax.default_backend() == "cpu":
+            # host-threaded shard engine: XLA:CPU wedges >=3 concurrent
+            # pure_callbacks on this 4-core host (parallel/msm.py
+            # sharded_msm_host docstring); same shard decomposition,
+            # engine and reduction, rayon-style
+            from mira_tpu.parallel.msm import sharded_msm_host
+
+            import numpy as np
+
+            sc_np = np.asarray(sc)
+            pts_np = tuple(np.asarray(c) for c in enc_pts)
+
+            def run():
+                sharded_msm_host(sc_np, pts_np, BN254_G1, n_mesh)
+        else:
+            def run():
+                out = sharded_msm(sc, enc_pts, BN254_G1, mesh)
+                jax.block_until_ready(out)
 
     elif kern == "ntt":
         from mira_tpu.parallel.ntt import distributed_ntt

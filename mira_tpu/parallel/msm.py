@@ -149,6 +149,54 @@ def _sharded_msm_jit(curve_name: str, num_bits: int, mesh: Mesh,
     return jax.jit(run)
 
 
+def sharded_msm_host(scalars, points, curve: CurveParams, nshards: int):
+    """Host-threaded shard engine: the same shard decomposition as
+    sharded_msm with per-shard native C++ Pippenger partials (nthreads=1
+    each) on a thread pool, and a host tree reduction.
+
+    This is the CPU-host path of the SCALING harness: on this 4-core host,
+    >=3 concurrent XLA:CPU pure_callbacks starve one another regardless of
+    collectives (observed: device threads wedge inside the python
+    callbacks; with a collective present its rendezvous then aborts the
+    process), so the mesh-program route can't be timed at n>=4.  On a CPU
+    "mesh" the virtual devices are host threads anyway — this measures the
+    identical per-shard engine + reduction, the role rayon plays under the
+    reference's best_multiexp (/root/reference/src/commitment.rs:66-87).
+    The real-chip scaling path (per-shard Pallas kernels + mesh
+    collectives) is unchanged and measured on hardware via
+    sharded_msm(method="pippenger").
+
+    Returns a host AffinePoint."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+
+    cb = _native_shard_callback(curve)
+    sc = np.asarray(scalars)
+    X, Y, Z = (np.asarray(c) for c in points)
+    n = sc.shape[0]
+    assert n % nshards == 0
+    m = n // nshards
+
+    def shard(i):
+        sl = slice(i * m, (i + 1) * m)
+        return cb(sc[sl], X[sl], Y[sl], Z[sl])
+
+    with ThreadPoolExecutor(max_workers=nshards) as ex:
+        parts = list(ex.map(shard, range(nshards)))
+    acc = None
+    for px, py, pz in parts:
+        pt = ops_decode(curve, (px, py, pz))
+        acc = pt if acc is None else acc.add(pt)
+    return acc
+
+
+def ops_decode(curve, triple):
+    from ..curves.jax_curve import jacobian_ops
+
+    return jacobian_ops(curve.name).decode_points(triple)[0]
+
+
 def sharded_msm(scalars, points, curve: CurveParams, mesh: Mesh,
                 method: str = "auto", block: int = 256):
     """scalars: (N,16) plain limbs; points: (X,Y,Z) Montgomery limb arrays.

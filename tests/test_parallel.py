@@ -107,3 +107,31 @@ def test_sharded_msm_pippenger_matches_host():
     out = sharded_msm(sc, enc, BN254_G1, mesh, block=4)
     got = ops.decode_points(tuple(c[None] for c in out))[0]
     assert got == msm_host(scalars, pts)
+
+
+def test_sharded_msm_host_matches_host():
+    """Host-threaded shard engine (parallel/msm.sharded_msm_host — the CPU
+    scaling-harness path) == naive host MSM."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from mira_tpu.curves.host import BN254_G1, AffinePoint, msm_host
+    from mira_tpu.curves.jax_curve import jacobian_ops
+    from mira_tpu.ops.msm import encode_scalars
+    from mira_tpu.ops.native_msm import available
+    from mira_tpu.parallel.msm import sharded_msm_host
+
+    if not available():
+        pytest.skip("native MSM library unavailable")
+    rng = random.Random(23)
+    n = 64
+    pts = [AffinePoint.random(BN254_G1, rng) for _ in range(n)]
+    svals = [rng.randrange(BN254_G1.scalar_modulus) for _ in range(n)]
+    svals[0] = 0
+    sc = np.asarray(encode_scalars(svals, BN254_G1.scalar_modulus))
+    enc = tuple(np.asarray(c) for c in jacobian_ops("bn254").encode_points(pts))
+    got = sharded_msm_host(sc, enc, BN254_G1, 4)
+    want = msm_host(svals, pts)
+    assert (got.x.v, got.y.v) == (want.x.v, want.y.v)

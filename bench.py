@@ -473,7 +473,31 @@ def main():
                 "bucket kernel correctness smoke FAILED on device: "
                 f"got {chk_got}, want {chk_want}"
             )
-        bucket_check = "pass"
+        # fixed-base kernel smoke on the same input (distinct bases only —
+        # its documented precondition): table build + kernel vs host
+        from mira_tpu.ops.pallas_msm import (
+            msm_pallas_fixed, precompute_fixed_table,
+        )
+
+        fb_pts = [AffinePoint.random(BN254_G1, chk_rng) for _ in range(256)]
+        fb_sc = [
+            chk_rng.randrange(BN254_G1.scalar_modulus) for _ in range(256)
+        ]
+        fb_sc[0] = 0
+        fb_enc = chk_ops.encode_points(fb_pts)
+        fb_tab = precompute_fixed_table(fb_enc, BN254_G1, 3)
+        fb_out = msm_pallas_fixed(
+            encode_scalars(fb_sc, BN254_G1.scalar_modulus), fb_tab,
+            BN254_G1, 3,
+        )
+        fb_got = chk_ops.decode_points(tuple(c[None] for c in fb_out))[0]
+        fb_want = msm_host(fb_sc, fb_pts)
+        if (fb_got.x.v, fb_got.y.v) != (fb_want.x.v, fb_want.y.v):
+            raise SystemExit(
+                "fixed-base kernel correctness smoke FAILED on device: "
+                f"got {fb_got}, want {fb_want}"
+            )
+        bucket_check = "pass+fixed"
     else:
         msm_fn = msm
 

@@ -235,6 +235,7 @@ class VanillaFS:
         rng=None,
         assume_sat: bool = True,
         mesh=None,
+        _impl: str | None = None,
     ):
         rng = rng or random.Random(0xC405)
         p = S.modulus
@@ -283,7 +284,7 @@ class VanillaFS:
             # multi-chip path
             impl = "xla"
         else:
-            impl = os.environ.get("MIRA_FOLD_EVAL")
+            impl = _impl or os.environ.get("MIRA_FOLD_EVAL")
         if impl is None:
             # fused Pallas sweep on TPU (all fold points in one pass over
             # the witness columns); native C++ row VM on CPU hosts
@@ -349,9 +350,33 @@ class VanillaFS:
         else:
             if impl == "pallas" and js:
                 pev = S._pallas_fold_evaluator()
-                with span("cross_term_eval"):
-                    outs = pev.fold_eval_multi(W1_W, W2_W, js, ch1, ch2)
-                evals = [outs[i] for i in range(len(js))]
+                try:
+                    with span("cross_term_eval"):
+                        outs = pev.fold_eval_multi(W1_W, W2_W, js, ch1, ch2)
+                    evals = [outs[i] for i in range(len(js))]
+                except Exception as e:  # noqa: BLE001
+                    # The static estimate passed the budget but the SHARED
+                    # chip's actual free HBM did not (measured: SnarkStar
+                    # k=20 — residents at that scale leave less headroom
+                    # than the evaluator's own footprint).  Self-heal onto
+                    # the native row VM instead of failing the fold.
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
+                    from ..polynomial.native_evaluator import available
+
+                    if not available():
+                        raise
+                    import sys
+
+                    print(
+                        "fold evaluator RESOURCE_EXHAUSTED on device; "
+                        "falling back to the native row VM",
+                        file=sys.stderr,
+                    )
+                    return VanillaFS.commit_cross_terms(
+                        ck, S, U1, W1, U2, W2, rng=rng,
+                        assume_sat=assume_sat, mesh=mesh, _impl="native",
+                    )
             else:
                 ev = S._evaluator("homogeneous")
 

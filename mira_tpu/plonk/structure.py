@@ -256,12 +256,19 @@ class PlonkStructure:
             d = self.get_degree_for_folding() - 1
             budget = int(_os.environ.get("MIRA_FOLD_EVAL_HBM_MB", "6000"))
             if fold_eval_est_mb(self, d) <= budget:
-                pev = self._pallas_fold_evaluator()
-                out = pev.fold_eval_multi(
-                    tuple(Ws), tuple(Ws), [0], [c % p for c in ch_h],
-                    [0] * len(ch_h),
-                )
-                return out[0]
+                try:
+                    pev = self._pallas_fold_evaluator()
+                    out = pev.fold_eval_multi(
+                        tuple(Ws), tuple(Ws), [0], [c % p for c in ch_h],
+                        [0] * len(ch_h),
+                    )
+                    return out[0]
+                except Exception as e:  # noqa: BLE001
+                    # shared-chip free HBM can be less than the estimate's
+                    # budget; self-heal onto the native VM (same fallback
+                    # as commit_cross_terms)
+                    if "RESOURCE_EXHAUSTED" not in str(e):
+                        raise
             out = _native()
             if out is not None:
                 return out
